@@ -1,0 +1,6 @@
+from . import geometry
+from .variables import (Variable, VariableType, R1Variable, R2Variable,
+                        SE2Variable, Bearing2DVariable, circular_dim_list,
+                        file2vars)
+from .distributions import (GaussianDistribution, GaussianRangeDistribution,
+                            GaussianMixtureDistribution)
