@@ -1,0 +1,187 @@
+"""Clique density model: flow stack + sample normalization + base measure.
+
+Parity with reference ``src/slam/NFiSAM.py`` (``NormalizingFlowModelWithSeparator:68``,
+``normalize_training_samples:515``) and ``src/flows/models.py``
+(``NormalizingFlowModel:4``) — re-designed as pure jitted functions over
+parameter pytrees with static configs, so the solver can cache one compiled
+program per clique signature and reuse it across incremental steps.
+
+Variable ordering convention (identical to the reference): columns are
+``[augmented observations | separator | frontal]`` in reverse-elimination
+order; ``aug_sep_dim`` = observation dims + separator dims.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry import wrap_angle
+from .base_dist import BaseDistribution
+from .nsf import NSFConfig, flow_forward, stack_forward, stack_inverse
+
+
+# --------------------------------------------------------------------------
+# Normalization (circular-aware; reference NFiSAM.py:515-548, 96-118)
+# --------------------------------------------------------------------------
+def circular_mean(samples: jax.Array, axis=0) -> jax.Array:
+    """Circular mean in [-pi, pi] (scipy.stats.circmean equivalent)."""
+    s = jnp.mean(jnp.sin(samples), axis=axis)
+    c = jnp.mean(jnp.cos(samples), axis=axis)
+    return jnp.arctan2(s, c)
+
+
+def compute_normalizer(samples: jax.Array, circ_mask: np.ndarray,
+                       scale_circular: bool = True):
+    """Per-dim (mean, std); circular dims use circmean and wrapped residual
+    std.  ``scale_circular=False`` for the circular-spline flow, which lives
+    natively on [-pi, pi] (reference NFiSAM.py:529-535)."""
+    circ = jnp.asarray(circ_mask)
+    mean_e = jnp.mean(samples, axis=0)
+    mean_c = circular_mean(samples)
+    mean = jnp.where(circ, mean_c, mean_e)
+    resid = jnp.where(circ, wrap_angle(samples - mean), samples - mean)
+    std = jnp.std(resid, axis=0)
+    if not scale_circular:
+        std = jnp.where(circ, 1.0, std)
+    std = jnp.clip(std, 1e-5, None)
+    return mean, std
+
+
+def normalize(samples: jax.Array, mean: jax.Array, std: jax.Array,
+              circ_mask, init_dim: int = 0) -> jax.Array:
+    """(x - mean) / std with angle wrapping on circular dims.  ``init_dim``
+    offsets into the stored full-clique mean/std arrays when normalizing a
+    column block (reference ``normalize_samples`` NFiSAM.py:96-106)."""
+    d = samples.shape[-1]
+    m = mean[init_dim:init_dim + d]
+    s = std[init_dim:init_dim + d]
+    circ = jnp.asarray(np.asarray(circ_mask)[init_dim:init_dim + d])
+    resid = jnp.where(circ, wrap_angle(samples - m), samples - m)
+    return resid / s
+
+
+def unnormalize(z: jax.Array, mean: jax.Array, std: jax.Array, circ_mask,
+                init_dim: int = 0) -> jax.Array:
+    d = z.shape[-1]
+    m = mean[init_dim:init_dim + d]
+    s = std[init_dim:init_dim + d]
+    circ = jnp.asarray(np.asarray(circ_mask)[init_dim:init_dim + d])
+    x = z * s + m
+    return jnp.where(circ, wrap_angle(x), x)
+
+
+# --------------------------------------------------------------------------
+# Pure model functions (jit-cached per NSFConfig)
+# --------------------------------------------------------------------------
+def model_forward(flow_params: List[dict], x_norm: jax.Array, cfg: NSFConfig,
+                  base: BaseDistribution):
+    """Normalized target samples -> (z, prior_logprob, log_det)."""
+    z, log_det = stack_forward(flow_params, x_norm, cfg)
+    return z, base.log_prob(z), log_det
+
+
+def negative_log_likelihood(flow_params: List[dict], x_norm: jax.Array,
+                            cfg: NSFConfig, base: BaseDistribution):
+    _, prior_lp, log_det = model_forward(flow_params, x_norm, cfg, base)
+    return -jnp.mean(prior_lp + log_det)
+
+
+@dataclass
+class CliqueFlowModel:
+    """Host-side handle to one trained clique density model.
+
+    ``aug_sep_dim`` counts [observation + separator] columns; the flow's
+    total dim = aug_sep_dim + frontal_dim.
+    """
+    cfg: NSFConfig
+    flow_params: List[dict]
+    mean: jax.Array            # (dim,)
+    std: jax.Array             # (dim,)
+    circular_dim_list: List[bool]
+    aug_sep_dim: int
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.dim
+
+    @property
+    def base(self) -> BaseDistribution:
+        return BaseDistribution(self.cfg.circular_mask)
+
+    @property
+    def separator_base(self) -> BaseDistribution | None:
+        if self.aug_sep_dim == 0:
+            return None
+        return BaseDistribution(self.cfg.circular_mask[:self.aug_sep_dim])
+
+    # -------------------------------------------------------------- queries
+    def with_separator_dim(self, aug_sep_dim: int) -> "CliqueFlowModel":
+        """Re-view the same density with a different separator/frontal split
+        (reference ``root_clique_density_model_to_leaf`` NFiSAM.py:550)."""
+        return CliqueFlowModel(self.cfg, self.flow_params, self.mean,
+                               self.std, self.circular_dim_list, aug_sep_dim)
+
+    def conditional_sample(self, key: jax.Array, num_samples: int,
+                           obs_samples=None) -> jax.Array:
+        """Sample frontal dims conditioned on [obs | separator] samples
+        (reference ``conditional_sample_given_observation`` NFiSAM.py:120).
+        Returns unnormalized frontal samples (n, frontal_dim)."""
+        if obs_samples is None:
+            sep_dim = 0
+            x_prefix = None
+            n = num_samples
+        else:
+            obs_samples = jnp.asarray(obs_samples)
+            n = obs_samples.shape[0]
+            sep_dim = obs_samples.shape[1]
+            x_prefix = normalize(obs_samples, self.mean, self.std,
+                                 self.circular_dim_list, init_dim=0)
+        frontal_dim = self.cfg.dim - sep_dim
+        z = self.base.sample(key, n)[:, sep_dim:sep_dim + frontal_dim]
+        x_full = stack_inverse(self.flow_params, z, self.cfg, x_prefix,
+                               sep_dim)
+        frontal_norm = x_full[:, sep_dim:]
+        return unnormalize(frontal_norm, self.mean, self.std,
+                           self.circular_dim_list, init_dim=sep_dim)
+
+    def separator_forward(self, x_sep: jax.Array):
+        """Push separator samples through the flow prefix; returns
+        (z, separator_prior_logprob, separator_log_det) — the separator
+        marginal density used by ``FlowsPriorFactor.log_pdf``
+        (reference NFiSAM.py:157-173, 233-251)."""
+        x = normalize(jnp.asarray(x_sep), self.mean, self.std,
+                      self.circular_dim_list, init_dim=0)
+        d_sep = x.shape[-1]
+        sub_cfg = NSFConfig(
+            dim=d_sep, num_knots=self.cfg.num_knots,
+            tail_bound=self.cfg.tail_bound, hidden_dim=self.cfg.hidden_dim,
+            num_flows=self.cfg.num_flows,
+            circular=tuple(bool(c) for c in
+                           self.cfg.circular_mask[:d_sep]))
+        total_ld = jnp.zeros(x.shape[0])
+        for params in self.flow_params:
+            sub_params = {k: v[:d_sep] for k, v in params.items()}
+            # W1's input axis must also shrink to the separator prefix
+            sub_params["W1"] = sub_params["W1"][:, :, :d_sep]
+            x, ld = flow_forward(sub_params, x, sub_cfg)
+            total_ld = total_ld + ld
+        base = BaseDistribution(self.cfg.circular_mask[:d_sep])
+        return x, base.log_prob(x), total_ld
+
+    def log_prob(self, x: jax.Array) -> jax.Array:
+        """Full joint log density of unnormalized samples (n, dim)."""
+        xn = normalize(jnp.asarray(x), self.mean, self.std,
+                       self.circular_dim_list, init_dim=0)
+        z, prior_lp, log_det = model_forward(self.flow_params, xn, self.cfg,
+                                             self.base)
+        # change of variables for the affine normalization
+        log_std = jnp.sum(jnp.log(self.std))
+        return prior_lp + log_det - log_std
+
+    def sample(self, key: jax.Array, num_samples: int) -> jax.Array:
+        return self.conditional_sample(key, num_samples)
