@@ -1,0 +1,2 @@
+from .simulation import (SimulationBasedSampler, compile_schedule,
+                         execute_schedule, SimulationSchedule)

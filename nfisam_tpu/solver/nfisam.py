@@ -1,0 +1,250 @@
+"""NF-iSAM: normalizing-flow clique density models on the Bayes tree.
+
+Parity with reference ``src/slam/NFiSAM.py`` (``NFiSAMArgs:18``,
+``NFiSAM:317``, ``FlowsPriorFactor:202``, conditional flow model
+``NormalizingFlowModelWithSeparator:68``) — with the flow math, training,
+and sampling living in the jitted ``nfisam_tpu.flows`` / ``train`` layers.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.variables import Variable
+from ..flows.model import (CliqueFlowModel, compute_normalizer, normalize)
+from ..flows.nsf import NSFConfig
+from ..graph.bayes_tree import CliqueNode
+from ..train.trainer import TrainConfig, fit_flow
+from .solver import (CliqueSeparatorFactor, ConditionalSampler,
+                     FactorGraphSolver, SolverArgs)
+
+
+@dataclass
+class NFiSAMArgs(SolverArgs):
+    elimination_method: str = "pose_first"
+    learning_rate: float = 0.015
+    flow_number: int = 1
+    flow_type: str = "NSF_AR"          # NSF_AR | NSF_AR_CS
+    flow_iterations: int = 2000
+    num_knots: int = 12
+    hidden_dim: int = 8
+    average_window: int = 50
+    loss_delta_tol: float = 1e-2
+    training_set_frac: float = 1.0
+    validation_interval: int = 10
+    slower_stop_rate: float = 2.0
+    training_loss_dir: Optional[str] = None
+    # TPU extensions
+    data_parallel_mesh: Optional[object] = None   # jax.sharding.Mesh
+
+    def json_str(self) -> str:
+        d = {k: v for k, v in self.__dict__.items()
+             if k != "data_parallel_mesh"}
+        return json.dumps(d)
+
+    def train_config(self) -> TrainConfig:
+        return TrainConfig(
+            max_iters=self.flow_iterations,
+            learning_rate=self.learning_rate,
+            average_window=self.average_window,
+            loss_delta_tol=self.loss_delta_tol,
+            validation_interval=self.validation_interval,
+            slower_stop_rate=self.slower_stop_rate,
+            training_set_frac=self.training_set_frac)
+
+
+class FlowModelAdapter(ConditionalSampler):
+    """Wraps a CliqueFlowModel with the solver-facing conditional-sampler
+    protocol (reference ``NormalizingFlowModelWithSeparator`` NFiSAM.py:68)."""
+
+    def __init__(self, model: CliqueFlowModel, key_source):
+        self.model = model
+        self._next_key = key_source
+
+    def conditional_sample_given_observation(self, conditional_dim,
+                                             obs_samples=None,
+                                             sample_number=None):
+        if obs_samples is None and sample_number is None:
+            raise ValueError("need obs_samples or sample_number")
+        n = sample_number if sample_number is not None else 0
+        return self.model.conditional_sample(self._next_key(), n,
+                                             obs_samples=obs_samples)
+
+
+class FlowsPriorFactor(CliqueSeparatorFactor):
+    """Separator-marginal factor backed by a trained flow
+    (reference ``FlowsPriorFactor`` NFiSAM.py:202)."""
+
+    def __init__(self, vars: List[Variable], flow_model: CliqueFlowModel,
+                 true_obs: np.ndarray, circular_dim_list: List[bool],
+                 key_source) -> None:
+        self._vars = list(vars)
+        self._flow_model = flow_model
+        self._true_obs = np.asarray(true_obs, dtype=np.float64).reshape(-1)
+        self._obs_dim = self._true_obs.shape[0]
+        self._circular_dim_list = list(circular_dim_list)
+        self._next_key = key_source
+        assert self.dim == len(self._circular_dim_list)
+
+    @property
+    def vars(self) -> List[Variable]:
+        return self._vars
+
+    @property
+    def is_gaussian(self) -> bool:
+        return False
+
+    @property
+    def circular_dim_list(self) -> List[bool]:
+        return self._circular_dim_list
+
+    def _augment(self, x: np.ndarray) -> np.ndarray:
+        if self._obs_dim == 0:
+            return np.asarray(x)
+        obs = np.tile(self._true_obs, (np.asarray(x).shape[0], 1))
+        return np.concatenate([obs, np.asarray(x)], axis=1)
+
+    def log_pdf(self, x) -> jax.Array:
+        """Separator marginal log density (up to a constant: the stored
+        observation columns are fixed)."""
+        aug = self._augment(np.asarray(x, dtype=np.float32))
+        _, prior_lp, log_det = self._flow_model.separator_forward(
+            jnp.asarray(aug))
+        return prior_lp + log_det
+
+    def pdf(self, x) -> jax.Array:
+        return jnp.exp(self.log_pdf(x))
+
+    def grad_x_log_pdf(self, x) -> jax.Array:
+        def f(row):
+            aug = row[None]
+            _, prior_lp, log_det = self._flow_model.separator_forward(aug)
+            return (prior_lp + log_det)[0]
+        aug = self._augment(np.asarray(x, dtype=np.float32))
+        grads = jax.vmap(jax.grad(f))(jnp.asarray(aug))
+        return grads[:, self._obs_dim:]
+
+    def evaluate_loglike(self, x):
+        return self.log_pdf(np.asarray(x).reshape(1, -1))[0]
+
+    def sample(self, key: jax.Array, num_samples: int) -> jax.Array:
+        if self._obs_dim == 0:
+            return self._flow_model.conditional_sample(key, num_samples)
+        obs = np.tile(self._true_obs, (num_samples, 1))
+        return self._flow_model.conditional_sample(key, 0, obs_samples=obs)
+
+    def unif_to_sample(self, u) -> jax.Array:
+        z = jax.scipy.stats.norm.ppf(
+            jnp.clip(jnp.asarray(u, dtype=jnp.float32).reshape(1, -1),
+                     1e-12, 1.0 - 1e-12))
+        from ..flows.model import unnormalize
+        from ..flows.nsf import stack_inverse
+        m = self._flow_model
+        if self._obs_dim == 0:
+            x_prefix, sep = None, 0
+        else:
+            obs = jnp.asarray(self._true_obs, dtype=jnp.float32)[None]
+            x_prefix = normalize(obs, m.mean, m.std, m.circular_dim_list, 0)
+            sep = self._obs_dim
+        x_full = stack_inverse(m.flow_params, z, m.cfg, x_prefix, sep)
+        out = unnormalize(x_full[:, sep:], m.mean, m.std,
+                          m.circular_dim_list, init_dim=sep)
+        return out[0]
+
+    def __str__(self) -> str:
+        return "Factor FlowsPriorFactor " + \
+            " ".join(str(v.name) for v in self._vars)
+
+
+class NFiSAM(FactorGraphSolver):
+    """Concrete flow-based solver (reference ``NFiSAM`` NFiSAM.py:317)."""
+
+    def __init__(self, args: NFiSAMArgs = None):
+        super().__init__(args=args or NFiSAMArgs())
+        self._args: NFiSAMArgs = self._args
+
+    # ------------------------------------------------------------- fitting
+    def _flow_config(self, aug_dim: int,
+                     circular_dim_list: List[bool]) -> NSFConfig:
+        if self._args.flow_type == "NSF_AR":
+            circ = ()
+        elif self._args.flow_type == "NSF_AR_CS":
+            circ = tuple(bool(c) for c in circular_dim_list)
+        else:
+            raise NotImplementedError(
+                f"Unknown flow type {self._args.flow_type}")
+        return NSFConfig(dim=aug_dim, num_knots=self._args.num_knots,
+                         hidden_dim=self._args.hidden_dim,
+                         num_flows=self._args.flow_number, circular=circ)
+
+    def fit_clique_density_model(self, clique: CliqueNode, samples,
+                                 var_ordering: List[Variable],
+                                 timer: Optional[List[float]]
+                                 ) -> FlowModelAdapter:
+        samples = jnp.asarray(samples, dtype=jnp.float32)
+        aug_dim = samples.shape[-1]
+        frontal_dim = clique.frontal_dim
+        aug_sep_dim = aug_dim - frontal_dim
+
+        circular_dim_list: List[bool] = []
+        for v in var_ordering:
+            circular_dim_list += v.circular_dim_list
+        cfg = self._flow_config(aug_dim, circular_dim_list)
+
+        circ_mask = np.asarray(circular_dim_list, dtype=bool)
+        mean, std = compute_normalizer(
+            samples, circ_mask,
+            scale_circular=(self._args.flow_type == "NSF_AR"))
+        x_norm = normalize(samples, mean, std, circ_mask)
+
+        t0 = time.time()
+        params, iter_loss, n_iters = fit_flow(
+            self._next_key(), x_norm, cfg, self._args.train_config(),
+            mesh=self._args.data_parallel_mesh)
+        n_iters = int(n_iters)
+        if timer is not None:
+            timer.append(time.time() - t0)
+
+        clique_name = "".join(str(v.name) for v in clique.vars)
+        self._temp_training_loss[clique_name] = [
+            float(l) for l in np.asarray(iter_loss)[:n_iters]]
+        if self._args.training_loss_dir is not None and \
+                os.path.isdir(self._args.training_loss_dir):
+            fname = os.path.join(self._args.training_loss_dir,
+                                 f"{clique_name}.txt")
+            np.savetxt(fname, np.asarray(iter_loss)[:n_iters])
+
+        model = CliqueFlowModel(cfg, params, mean, std, circular_dim_list,
+                                aug_sep_dim)
+        return FlowModelAdapter(model, self._next_key)
+
+    # ----------------------------------------------------------- recycling
+    def root_clique_density_model_to_leaf(self, old_clique: CliqueNode,
+                                          new_clique: CliqueNode
+                                          ) -> FlowModelAdapter:
+        old = self._clique_density_model[old_clique]
+        obs_dim = old.model.dim - old_clique.dim
+        sep_dim = new_clique.separator_dim + obs_dim
+        return FlowModelAdapter(old.model.with_separator_dim(sep_dim),
+                                self._next_key)
+
+    def clique_density_to_separator_factor(
+            self, separator_var_list: List[Variable],
+            density_model: FlowModelAdapter,
+            true_obs: np.ndarray) -> FlowsPriorFactor:
+        obs_dim = int(np.asarray(true_obs).reshape(-1).shape[0])
+        sep_dim = sum(v.dim for v in separator_var_list)
+        circ = density_model.model.circular_dim_list[
+            obs_dim:obs_dim + sep_dim]
+        return FlowsPriorFactor(vars=separator_var_list,
+                                flow_model=density_model.model,
+                                true_obs=np.asarray(true_obs).reshape(-1),
+                                circular_dim_list=circ,
+                                key_source=self._next_key)

@@ -1,0 +1,99 @@
+"""Incremental run harness: per-step solve + artifact writing.
+
+Parity with reference ``run_incrementally`` (FactorGraphSolver.py:760-933):
+creates ``run{N}`` directories and writes the same artifact set (step
+samples, elimination ordering, split timing, training losses, step timing,
+posterior-sampling/fitting timers, DA-hypothesis weights) so the
+reference's analysis scripts keep working on our outputs.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.variables import Variable
+from ..factors.mixtures import BinaryFactorMixture
+from .solver import FactorGraphSolver
+
+
+def run_incrementally(case_dir: str, solver: FactorGraphSolver,
+                      nodes_factors_by_step, truth: Optional[Dict] = None,
+                      plot_args: Optional[dict] = None,
+                      verbose: bool = True) -> str:
+    run_count = 1
+    while os.path.exists(f"{case_dir}/run{run_count}"):
+        run_count += 1
+    run_dir = f"{case_dir}/run{run_count}"
+    os.makedirs(run_dir)
+
+    with open(f"{run_dir}/parameters", "w") as f:
+        f.write(solver._args.json_str())
+
+    num_batches = len(nodes_factors_by_step)
+    step_timer: List[float] = []
+    step_list: List[int] = []
+    posterior_sampling_timer: List[float] = []
+    fitting_timer: List[float] = []
+    mixture_factor2weights: Dict = {}
+
+    for i in range(num_batches):
+        step_nodes, step_factors = nodes_factors_by_step[i]
+        for node in step_nodes:
+            solver.add_node(node)
+        for factor in step_factors:
+            solver.add_factor(factor)
+            if isinstance(factor, BinaryFactorMixture):
+                mixture_factor2weights[factor] = []
+
+        step_list.append(i)
+        prefix = f"{run_dir}/step{i}"
+        detailed_timer: List[float] = []
+        clique_dim_timer: List[List[float]] = []
+        start = time.time()
+        solver.update_physical_and_working_graphs(timer=detailed_timer)
+        cur_sample = solver.incremental_inference(
+            timer=detailed_timer, clique_dim_timer=clique_dim_timer)
+        step_timer.append(time.time() - start)
+        if verbose:
+            print(f"step {i}/{num_batches} time: {step_timer[-1]:.3f} s, "
+                  f"total: {sum(step_timer):.3f} s")
+
+        with open(f"{prefix}_ordering", "w") as f:
+            f.write(" ".join(str(v.name)
+                             for v in solver.elimination_ordering))
+        with open(f"{prefix}_split_timing", "w") as f:
+            f.write(" ".join(str(t) for t in detailed_timer))
+        with open(f"{prefix}_step_training_loss", "w") as f:
+            f.write(json.dumps(solver._temp_training_loss))
+
+        if detailed_timer:
+            posterior_sampling_timer.append(detailed_timer[-1])
+            fitting_timer.append(sum(detailed_timer[1:-1]))
+
+        X = np.hstack([np.asarray(cur_sample[var])
+                       for var in solver.elimination_ordering])
+        np.savetxt(fname=prefix, X=X)
+        np.savetxt(fname=prefix + "_dim_time",
+                   X=np.array(clique_dim_timer))
+
+        for fname, data in (("step_timing", step_timer),
+                            ("step_list", step_list),
+                            ("posterior_sampling_timer",
+                             posterior_sampling_timer),
+                            ("fitting_timer", fitting_timer)):
+            with open(f"{run_dir}/{fname}", "w") as f:
+                f.write(" ".join(str(t) for t in data))
+
+        if mixture_factor2weights:
+            with open(f"{prefix}.hypoweights", "w") as hf:
+                for factor, weights in mixture_factor2weights.items():
+                    hypo_weights = factor.posterior_weights(cur_sample)
+                    line = " ".join(str(v.name) for v in factor.vars) + \
+                        " : " + ",".join(str(w) for w in hypo_weights)
+                    hf.write(line + "\n")
+                    weights.append(hypo_weights)
+    return run_dir

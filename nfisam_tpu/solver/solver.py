@@ -1,0 +1,380 @@
+"""Incremental factor-graph solver core (abstract machinery).
+
+Parity with reference ``src/slam/FactorGraphSolver.py`` (``SolverArgs:27``,
+``FactorGraphSolver:68``): physical vs working graph split, elimination
+orderings, incremental Bayes-tree surgery with density-model recycling,
+leaves->root clique fitting, and root->leaf posterior sampling.
+
+TPU-first orchestration notes:
+
+* all numeric work (clique simulation, flow training, posterior draws)
+  happens in jitted batched programs; the solver only sequences them;
+* cliques at the same Bayes-tree depth are independent — they are grouped
+  per level so backends can fan them out (sequential here; the parallel
+  scheduler lives in ``nfisam_tpu/parallel``);
+* RNG is an explicit ``jax.random`` key threaded through every step.
+"""
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..core.variables import Variable, VariableType
+from ..factors.factors import Factor, ImplicitPriorFactor
+from ..graph.bayes_tree import BayesTree, CliqueNode
+from ..graph.factor_graph import FactorGraph
+from ..samplers.simulation import SimulationBasedSampler
+
+
+@dataclass
+class SolverArgs:
+    elimination_method: str = "natural"      # natural | pose_first | ccolamd
+    posterior_sample_num: int = 500
+    local_sample_num: int = 500
+    store_clique_samples: bool = False
+    local_sampling_method: str = "direct"    # direct | nested
+    adaptive_posterior_sampling: Optional[str] = None
+    seed: int = 0
+
+    def json_str(self) -> str:
+        return json.dumps(asdict(self))
+
+
+class CliqueSeparatorFactor(ImplicitPriorFactor):
+    """Marker base for separator-marginal factors pushed up the tree."""
+
+
+class ConditionalSampler:
+    def conditional_sample_given_observation(self, conditional_dim,
+                                             obs_samples=None,
+                                             sample_number=None):
+        raise NotImplementedError
+
+
+class FactorGraphSolver:
+    """Abstract incremental solver; density modeling is subclass policy."""
+
+    def __init__(self, args: SolverArgs):
+        self._args = args
+        self._physical_graph = FactorGraph()
+        self._working_graph = FactorGraph()
+        self._physical_bayes_tree: Optional[BayesTree] = None
+        self._working_bayes_tree: Optional[BayesTree] = None
+        self._implicit_factors: Dict[CliqueNode, Factor] = {}
+        self._samples: Dict[Variable, np.ndarray] = {}
+        self._new_nodes: List[Variable] = []
+        self._new_factors: List[Factor] = []
+        self._clique_samples: Dict[CliqueNode, np.ndarray] = {}
+        self._clique_true_obs: Dict[CliqueNode, np.ndarray] = {}
+        self._clique_density_model: Dict[CliqueNode, object] = {}
+        self._clique_variable_pattern: Dict[CliqueNode, List[Variable]] = {}
+        self._elimination_ordering: List[Variable] = []
+        self._reverse_ordering_map: Dict[Variable, int] = {}
+        self._temp_training_loss: Dict[str, List[float]] = {}
+        self._key = jax.random.PRNGKey(args.seed)
+
+    # ------------------------------------------------------------ plumbing
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @property
+    def elimination_ordering(self) -> List[Variable]:
+        return self._elimination_ordering
+
+    @property
+    def physical_vars(self) -> List[Variable]:
+        return self._physical_graph.vars
+
+    @property
+    def working_vars(self) -> List[Variable]:
+        return self._working_graph.vars
+
+    @property
+    def physical_factors(self) -> List[Factor]:
+        return self._physical_graph.factors
+
+    @property
+    def working_factors(self) -> List[Factor]:
+        return self._working_graph.factors
+
+    @property
+    def physical_bayes_tree(self) -> Optional[BayesTree]:
+        return self._physical_bayes_tree
+
+    @property
+    def working_bayes_tree(self) -> Optional[BayesTree]:
+        return self._working_bayes_tree
+
+    def add_node(self, var: Variable) -> "FactorGraphSolver":
+        self._new_nodes.append(var)
+        return self
+
+    def add_factor(self, factor: Factor) -> "FactorGraphSolver":
+        self._new_factors.append(factor)
+        return self
+
+    # ------------------------------------------------------------ ordering
+    def generate_ordering(self) -> None:
+        method = self._args.elimination_method
+        if method == "natural":
+            self._elimination_ordering = \
+                self._physical_graph.vars + self._new_nodes
+        elif method == "pose_first":
+            natural = self._physical_graph.vars + self._new_nodes
+            poses = [v for v in natural
+                     if v.type != VariableType.Landmark]
+            lmks = [v for v in natural if v.type == VariableType.Landmark]
+            self._elimination_ordering = poses + lmks
+        elif method == "ccolamd":
+            fixed = [v for v in self._elimination_ordering
+                     if v not in set(self._working_graph.vars)]
+            poses = [v for v in self._working_graph.vars
+                     if v.type == VariableType.Pose]
+            working = self._working_graph.analyze_elimination_ordering(
+                method="ccolamd", last_vars=[poses[-1]] if poses else None)
+            self._elimination_ordering = fixed + working
+        else:
+            raise ValueError(f"Unknown elimination method {method}")
+        self._reverse_ordering_map = {
+            v: i for i, v in enumerate(self._elimination_ordering[::-1])}
+
+    # -------------------------------------------------------- incremental
+    def update_physical_and_working_graphs(
+            self, timer: Optional[List[float]] = None
+    ) -> "FactorGraphSolver":
+        """Fold new nodes/factors in, rebuild the working tree over affected
+        variables, recycle untouched models (reference
+        ``update_physical_and_working_graphs`` FactorGraphSolver.py:256)."""
+        start = time.time()
+        old_nodes = set(self.physical_vars)
+        touched = set()
+        for f in self._new_factors:
+            touched |= set(f.vars)
+        touched &= old_nodes
+
+        if self._physical_bayes_tree is not None:
+            affected, sub_trees = \
+                self._physical_bayes_tree.prune_affected(touched)
+            self._working_graph = \
+                self._physical_graph.subgraph_with_separator_priors(
+                    affected, list(sub_trees), self._implicit_factors)
+        else:
+            sub_trees = set()
+            self._working_graph = FactorGraph()
+        for node in self._new_nodes:
+            self._working_graph.add_node(node)
+        for factor in self._new_factors:
+            self._working_graph.add_factor(factor)
+
+        old_ordering = self._elimination_ordering
+        self.generate_ordering()
+        working_set = set(self.working_vars)
+        self._working_bayes_tree = self._working_graph.build_bayes_tree(
+            ordering=[v for v in self._elimination_ordering
+                      if v in working_set])
+
+        for node in self._new_nodes:
+            self._physical_graph.add_node(node)
+        for factor in self._new_factors:
+            self._physical_graph.add_factor(factor)
+
+        self._physical_bayes_tree = self._working_bayes_tree.copy()
+        self._physical_bayes_tree.graft_subtrees(sub_trees)
+
+        self._recycle_root_models(old_ordering)
+
+        self._new_nodes = []
+        self._new_factors = []
+        if timer is not None:
+            timer.append(time.time() - start)
+        return self
+
+    def _recycle_root_models(self, old_ordering: List[Variable]) -> None:
+        """An old root clique that reappears with the same variables and
+        in-clique ordering — now as a leaf — keeps its density model after a
+        separator/frontal re-split (reference FactorGraphSolver.py:309-349).
+        """
+        stale = set(self._clique_density_model.keys()) - \
+            self._physical_bayes_tree.clique_nodes
+        for old_clique in stale:
+            for new_clique in self._working_bayes_tree.clique_nodes:
+                same_vars = old_clique.vars == new_clique.vars
+                if not same_vars:
+                    continue
+                old_cols = [v for v in old_ordering
+                            if v in old_clique.vars]
+                new_cols = [v for v in self._elimination_ordering
+                            if v in new_clique.vars]
+                if old_cols != new_cols:
+                    continue
+                self._clique_true_obs[new_clique] = \
+                    self._clique_true_obs[old_clique]
+                if old_clique in self._clique_variable_pattern:
+                    self._clique_variable_pattern[new_clique] = \
+                        self._clique_variable_pattern[old_clique]
+                if old_clique in self._clique_samples:
+                    self._clique_samples[new_clique] = \
+                        self._clique_samples[old_clique]
+                self._clique_density_model[new_clique] = \
+                    self.root_clique_density_model_to_leaf(
+                        old_clique, new_clique)
+                new_sep_factor = None
+                if new_clique.separator:
+                    sep_list = sorted(
+                        new_clique.separator,
+                        key=lambda v: self._reverse_ordering_map[v])
+                    new_sep_factor = self.clique_density_to_separator_factor(
+                        sep_list, self._clique_density_model[new_clique],
+                        self._clique_true_obs[old_clique])
+                    self._implicit_factors[new_clique] = new_sep_factor
+                self._working_graph = self._working_graph.without_clique(
+                    clique=new_clique, new_factor=new_sep_factor)
+                break
+        for old_clique in stale:
+            self._clique_density_model.pop(old_clique, None)
+            self._clique_true_obs.pop(old_clique, None)
+            self._clique_variable_pattern.pop(old_clique, None)
+            self._clique_samples.pop(old_clique, None)
+
+    # ----------------------------------------------------------- inference
+    def incremental_inference(self, timer: Optional[List[float]] = None,
+                              clique_dim_timer: Optional[List] = None,
+                              *args, **kwargs):
+        self.fit_tree_density_models(timer=timer,
+                                     clique_dim_timer=clique_dim_timer,
+                                     *args, **kwargs)
+        self._samples = self.sample_posterior(timer=timer)
+        return self._samples
+
+    def fit_clique_density_model(self, clique, samples, var_ordering,
+                                 timer) -> "ConditionalSampler":
+        raise NotImplementedError
+
+    def root_clique_density_model_to_leaf(self, old_clique, new_clique):
+        raise NotImplementedError
+
+    def clique_density_to_separator_factor(self, separator_var_list,
+                                           density_model, true_obs):
+        raise NotImplementedError
+
+    def fit_tree_density_models(self,
+                                timer: Optional[List[float]] = None,
+                                clique_dim_timer: Optional[List] = None,
+                                *args, **kwargs) -> None:
+        """Leaves->root clique loop (reference
+        ``fit_tree_density_models`` FactorGraphSolver.py:409)."""
+        self._temp_training_loss = {}
+        clique_ordering = self._working_bayes_tree.clique_ordering()
+        t_begin = time.time()
+        while clique_ordering:
+            t_clique = time.time()
+            clique = clique_ordering.pop()
+            if clique in self._clique_density_model:
+                if clique_dim_timer is not None:
+                    clique_dim_timer.append(
+                        [clique.dim, time.time() - t_begin])
+                continue
+
+            t0 = time.time()
+            local_samples, sample_var_ordering, true_obs = \
+                self.clique_training_sampler(
+                    clique, num_samples=self._args.local_sample_num,
+                    method=self._args.local_sampling_method)
+            if timer is not None:
+                timer.append(time.time() - t0)
+
+            self._clique_true_obs[clique] = true_obs
+            if self._args.store_clique_samples:
+                self._clique_samples[clique] = np.asarray(local_samples)
+
+            model = self.fit_clique_density_model(
+                clique=clique, samples=local_samples,
+                var_ordering=sample_var_ordering, timer=timer)
+            self._clique_density_model[clique] = model
+            new_sep_factor = None
+            if clique.separator:
+                sep_list = sorted(
+                    clique.separator,
+                    key=lambda v: self._reverse_ordering_map[v])
+                new_sep_factor = self.clique_density_to_separator_factor(
+                    sep_list, model, true_obs)
+                self._implicit_factors[clique] = new_sep_factor
+            self._working_graph = self._working_graph.without_clique(
+                clique=clique, new_factor=new_sep_factor)
+            if clique_dim_timer is not None:
+                clique_dim_timer.append([clique.dim,
+                                         time.time() - t_begin])
+
+    def clique_training_sampler(self, clique: CliqueNode, num_samples: int,
+                                method: str):
+        """Training samples for one clique (reference
+        ``clique_training_sampler`` FactorGraphSolver.py:479)."""
+        subgraph = self._working_graph.clique_subgraph(clique)
+        pattern = self._working_bayes_tree.clique_variable_pattern(clique)
+        if method == "direct":
+            sampler = SimulationBasedSampler(factors=subgraph.factors,
+                                             vars=pattern)
+            samples, var_list, unused_obs = sampler.sample(
+                self._next_key(), num_samples)
+        elif method in ("nested", "dynamic nested"):
+            from .nested_adapter import nested_clique_samples
+            samples = nested_clique_samples(
+                self._next_key(), pattern, subgraph.factors, num_samples,
+                dynamic=(method == "dynamic nested"))
+            var_list = pattern
+            unused_obs = np.array([])
+        else:
+            raise ValueError(f"Unknown sampling method {method}")
+        return samples, var_list, unused_obs
+
+    def sample_posterior(self, timer: Optional[List[float]] = None
+                         ) -> Dict[Variable, np.ndarray]:
+        """Root->leaf conditional sampling pass (reference
+        ``sample_posterior`` FactorGraphSolver.py:497)."""
+        num_samples = self._args.posterior_sample_num
+        start = time.time()
+        stack = [self._physical_bayes_tree.root]
+        samples: Dict[Variable, np.ndarray] = {}
+        while stack:
+            clique = stack.pop()
+            frontal_list = sorted(
+                clique.frontal, key=lambda v: self._reverse_ordering_map[v])
+            separator_list = sorted(
+                clique.separator,
+                key=lambda v: self._reverse_ordering_map[v])
+            model = self._clique_density_model[clique]
+            obs = self._clique_true_obs[clique]
+
+            blocks = []
+            if len(obs) != 0:
+                blocks.append(np.tile(obs, (num_samples, 1)))
+            for v in separator_list:
+                blocks.append(samples[v])
+            aug = np.hstack(blocks) if blocks else \
+                np.zeros((num_samples, 0))
+
+            if aug.shape[1] != 0:
+                frontal = model.conditional_sample_given_observation(
+                    conditional_dim=clique.frontal_dim, obs_samples=aug)
+            else:
+                frontal = model.conditional_sample_given_observation(
+                    conditional_dim=clique.frontal_dim,
+                    sample_number=num_samples)
+            frontal = np.asarray(frontal)
+            cur = 0
+            for v in frontal_list:
+                samples[v] = frontal[:, cur:cur + v.dim]
+                cur += v.dim
+            stack.extend(clique.children)
+        if timer is not None:
+            timer.append(time.time() - start)
+        return samples
+
+    def results(self):
+        return list(self._samples.values()), list(self._samples.keys())

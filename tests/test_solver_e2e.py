@@ -1,0 +1,117 @@
+"""End-to-end solver tests (reference models:
+``tests/test_displacement_gaussian_factor_graph.py`` — analytic
+linear-Gaussian oracle — and ``tests/test_slam_model_structure.py`` smoke).
+
+Small configs keep runtime modest; quality asserts are posterior-moment
+checks against closed forms / ground truth."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from nfisam_tpu.core import R2Variable, SE2Variable, VariableType
+from nfisam_tpu.factors import (R2RelativeGaussianLikelihoodFactor,
+                                SE2RelativeGaussianLikelihoodFactor,
+                                SE2R2RangeGaussianLikelihoodFactor,
+                                UnaryR2GaussianPriorFactor,
+                                UnarySE2ApproximateGaussianPriorFactor)
+from nfisam_tpu.solver import NFiSAM, NFiSAMArgs
+
+
+def _linear_gaussian_chain(n=3, sigma=0.5):
+    """R2 chain: prior on X0, displacement factors. Posterior is Gaussian
+    with known marginal means (sum of displacements) — closed-form oracle."""
+    xs = [R2Variable(f"X{i}") for i in range(n)]
+    cov = np.eye(2) * sigma ** 2
+    factors = [UnaryR2GaussianPriorFactor(xs[0], np.zeros(2),
+                                          covariance=cov)]
+    disp = np.array([1.0, 2.0])
+    for a, b in zip(xs, xs[1:]):
+        factors.append(R2RelativeGaussianLikelihoodFactor(
+            a, b, disp, covariance=cov))
+    return xs, factors, disp
+
+
+def test_linear_gaussian_chain_posterior_matches_closed_form():
+    xs, factors, disp = _linear_gaussian_chain(3, sigma=0.5)
+    args = NFiSAMArgs(posterior_sample_num=2000, local_sample_num=2000,
+                      flow_iterations=400, num_knots=8, learning_rate=0.03,
+                      elimination_method="natural", seed=1)
+    solver = NFiSAM(args)
+    for x in xs:
+        solver.add_node(x)
+    for f in factors:
+        solver.add_factor(f)
+    solver.update_physical_and_working_graphs()
+    samples = solver.incremental_inference()
+    # marginal mean of X_k is k * disp; marginal cov is (k+1) * sigma^2 I
+    for k, x in enumerate(xs):
+        s = np.asarray(samples[x])
+        np.testing.assert_allclose(s.mean(0), k * disp, atol=0.25)
+        want_var = (k + 1) * 0.25
+        np.testing.assert_allclose(s.var(0), want_var, rtol=0.5)
+
+
+def test_incremental_equals_batch_structure():
+    """Incremental updates keep every variable sampled and recycle models."""
+    xs = [SE2Variable(f"X{i}") for i in range(4)]
+    lm = R2Variable("L1", VariableType.Landmark)
+    cov3 = np.diag([0.01, 0.01, 0.001])
+    prior = UnarySE2ApproximateGaussianPriorFactor(
+        xs[0], np.array([0.0, 0.0, 0.0]), cov3)
+    odos = [SE2RelativeGaussianLikelihoodFactor(
+        a, b, np.array([5.0, 0.0, 0.0]), cov3)
+        for a, b in zip(xs, xs[1:])]
+    ranges = [SE2R2RangeGaussianLikelihoodFactor(xs[i], lm, 7.0, 0.3)
+              for i in (0, 2, 3)]
+
+    args = NFiSAMArgs(posterior_sample_num=300, local_sample_num=500,
+                      flow_iterations=200, num_knots=6, learning_rate=0.03,
+                      elimination_method="pose_first", seed=2)
+    solver = NFiSAM(args)
+    steps = [
+        ([xs[0], lm], [prior, ranges[0]]),
+        ([xs[1]], [odos[0]]),
+        ([xs[2]], [odos[1], ranges[1]]),
+        ([xs[3]], [odos[2], ranges[2]]),
+    ]
+    n_models_after = []
+    for ns, fs in steps:
+        for n in ns:
+            solver.add_node(n)
+        for f in fs:
+            solver.add_factor(f)
+        solver.update_physical_and_working_graphs()
+        samples = solver.incremental_inference()
+        n_models_after.append(len(solver._clique_density_model))
+        assert set(samples.keys()) == set(solver.physical_vars)
+    # tree grows; models accumulate but stale ones are dropped
+    assert n_models_after[-1] >= 2
+    # all sample blocks have the right shape
+    for v, s in samples.items():
+        assert np.asarray(s).shape == (300, v.dim)
+
+
+def test_posterior_respects_range_constraint():
+    """A pose chain with a range to a landmark: posterior ranges should
+    concentrate near the measured value."""
+    x0 = SE2Variable("X0")
+    lm = R2Variable("L1", VariableType.Landmark)
+    cov3 = np.diag([0.01, 0.01, 0.001])
+    args = NFiSAMArgs(posterior_sample_num=500, local_sample_num=1500,
+                      flow_iterations=500, num_knots=9, learning_rate=0.03,
+                      elimination_method="pose_first", seed=3)
+    solver = NFiSAM(args)
+    solver.add_node(x0)
+    solver.add_node(lm)
+    solver.add_factor(UnarySE2ApproximateGaussianPriorFactor(
+        x0, np.zeros(3), cov3))
+    solver.add_factor(SE2R2RangeGaussianLikelihoodFactor(x0, lm, 10.0, 0.5))
+    solver.update_physical_and_working_graphs()
+    samples = solver.incremental_inference()
+    pose = np.asarray(samples[x0])
+    lmk = np.asarray(samples[lm])
+    r = np.linalg.norm(lmk - pose[:, :2], axis=1)
+    assert abs(r.mean() - 10.0) < 0.5
+    assert r.std() < 1.5
