@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Headline benchmark: case1 incremental NF-iSAM solve on TPU.
+
+Workload = the reference's journal-paper configuration on
+``small_range_gaussian_problem/journal_paper/case1`` (6 SE2 poses +
+2 landmarks, 14 factors, 6 incremental steps; NSF-AR, knots=9, <=2000
+Adam iters, 2000 training samples, lr 0.025, hidden 8, 1000 posterior
+samples, pose_first ordering).  Reference total wall-clock: 32.23 s
+(sum of ``run1/step_timing``; see BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The first pass populates the persistent XLA compilation cache; the
+reported number is the steady-state (second) run, which is what an
+incremental SLAM deployment experiences.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+
+from nfisam_tpu.io import (graph_file_parser,  # noqa: E402
+                           group_nodes_factors_incrementally)
+from nfisam_tpu.solver import NFiSAM, NFiSAMArgs  # noqa: E402
+
+BASELINE_TOTAL_S = 32.23   # reference run1/step_timing sum (BASELINE.md)
+FG = ("/root/reference/example/slam/small_range_gaussian_problem/"
+      "journal_paper/case1/factor_graph.fg")
+LOCAL_FG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "case1_factor_graph.fg")
+
+
+def solve_once(nodes, factors, seed):
+    batches = group_nodes_factors_incrementally(nodes, factors,
+                                                incremental_step=1)
+    args = NFiSAMArgs(posterior_sample_num=1000, local_sample_num=2000,
+                      flow_iterations=2000, num_knots=9,
+                      learning_rate=0.025, hidden_dim=8,
+                      elimination_method="pose_first", seed=seed)
+    solver = NFiSAM(args)
+    t0 = time.time()
+    samples = None
+    for (ns, fs) in batches:
+        for n in ns:
+            solver.add_node(n)
+        for f in fs:
+            solver.add_factor(f)
+        solver.update_physical_and_working_graphs()
+        samples = solver.incremental_inference()
+    # force completion of any async device work
+    for v, s in samples.items():
+        np.asarray(s)
+    return time.time() - t0, samples
+
+
+def main():
+    fg = FG if os.path.exists(FG) else LOCAL_FG
+    nodes, truth, factors = graph_file_parser(fg, "fg")
+
+    t_warm, _ = solve_once(nodes, factors, seed=0)
+    print(f"# warmup (incl. compile): {t_warm:.2f} s", file=sys.stderr)
+    t_meas, samples = solve_once(nodes, factors, seed=1)
+    print(f"# steady-state: {t_meas:.2f} s", file=sys.stderr)
+
+    # sanity: posterior means near ground truth
+    max_err = 0.0
+    for v, s in samples.items():
+        if v in truth:
+            err = float(np.linalg.norm(np.asarray(s).mean(0)[:2]
+                                       - truth[v][:2]))
+            max_err = max(max_err, err)
+    print(f"# max translation error of posterior means: {max_err:.2f} m",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "case1_incremental_total_wall_s",
+        "value": round(t_meas, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_TOTAL_S / t_meas, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from .metrics import (mmd, mmd_unbiased_sq, mmd_biased, rmse, sample_mean,
+                      geodesic_distance, translation_distance,
+                      kabsch_umeyama, gaussian_kernel_stein_discrepancy,
+                      gaussian_displacement_graph_moments,
+                      sample_dict_to_array, array_order_to_dict)
