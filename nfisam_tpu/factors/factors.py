@@ -635,6 +635,52 @@ class R2RelativeGaussianLikelihoodFactor(LikelihoodFactor, BinaryFactor):
 
 
 # --- SE(2) relative odometry ------------------------------------------------
+# Jitted directional samplers: params are traced args so all factors of one
+# type share a single compiled program per batch shape (tunnel-latency
+# critical: one device dispatch per schedule op instead of ~10 eager ops).
+@jax.jit
+def _se2_rel_sample_fwd(key, obs, cov_sqrt, var1):
+    z = jax.random.normal(key, var1.shape)
+    T_ij = geom.se2_compose(jnp.broadcast_to(obs, var1.shape),
+                            geom.se2_exp(z @ cov_sqrt.T))
+    return geom.se2_compose(var1, T_ij)
+
+
+@jax.jit
+def _se2_rel_sample_bwd(key, obs, cov_sqrt, var2):
+    z = jax.random.normal(key, var2.shape)
+    T_ij = geom.se2_compose(jnp.broadcast_to(obs, var2.shape),
+                            geom.se2_exp(z @ cov_sqrt.T))
+    return geom.se2_compose(var2, geom.se2_inverse(T_ij))
+
+
+@jax.jit
+def _se2_rel_sample_obs(key, cov_sqrt, var1, var2):
+    z = jax.random.normal(key, var1.shape)
+    return geom.se2_compose(geom.se2_between(var1, var2),
+                            geom.se2_exp(z @ cov_sqrt.T))
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _range_sample_dir(key, obs, sigma, src_xy, pad_heading: bool):
+    kr, ka, kh = jax.random.split(key, 3)
+    n = src_xy.shape[0]
+    dist = obs + sigma * jax.random.normal(kr, (n, 1))
+    ang = jax.random.uniform(ka, (n, 1), minval=-jnp.pi, maxval=jnp.pi)
+    xy = src_xy + jnp.concatenate([dist * jnp.cos(ang),
+                                   dist * jnp.sin(ang)], -1)
+    if not pad_heading:
+        return xy
+    heading = jax.random.uniform(kh, (n, 1), minval=-jnp.pi, maxval=jnp.pi)
+    return jnp.concatenate([xy, heading], -1)
+
+
+@jax.jit
+def _range_sample_obs(key, sigma, t1, t2):
+    noise = sigma * jax.random.normal(key, (t1.shape[0], 1))
+    return jnp.linalg.norm(t2 - t1, axis=1, keepdims=True) + noise
+
+
 @jax.jit
 def _se2_rel_log_pdf(x, inv_obs, prec_chol, log_norm):
     Ti, Tj = x[:, :3], x[:, 3:]
@@ -698,18 +744,13 @@ class SE2RelativeGaussianLikelihoodFactor(LikelihoodFactor, BinaryFactor):
         if var1 is None and var2 is None:
             raise ValueError("need samples of at least one variable")
         if var1 is None:
-            var2 = jnp.asarray(var2)
-            T_ij = self._noised_obs(key, var2.shape[0])
-            return geom.se2_compose(var2, geom.se2_inverse(T_ij))
+            return _se2_rel_sample_bwd(key, self.obs, self.cov_sqrt,
+                                       jnp.asarray(var2))
         if var2 is None:
-            var1 = jnp.asarray(var1)
-            T_ij = self._noised_obs(key, var1.shape[0])
-            return geom.se2_compose(var1, T_ij)
-        var1, var2 = jnp.asarray(var1), jnp.asarray(var2)
-        z = jax.random.normal(key, (var1.shape[0], 3))
-        noise = z @ self.cov_sqrt.T
-        return geom.se2_compose(geom.se2_between(var1, var2),
-                                geom.se2_exp(noise))
+            return _se2_rel_sample_fwd(key, self.obs, self.cov_sqrt,
+                                       jnp.asarray(var1))
+        return _se2_rel_sample_obs(key, self.cov_sqrt, jnp.asarray(var1),
+                                   jnp.asarray(var2))
 
     def unif_to_sample(self, u, var1=None, var2=None):
         u = jnp.asarray(u)
@@ -995,19 +1036,15 @@ class _RangeFactorBase(LikelihoodFactor, BinaryFactor):
             raise ValueError("need samples of at least one variable")
         if var1 is not None and var2 is not None:
             var1, var2 = jnp.asarray(var1), jnp.asarray(var2)
-            n = var1.shape[0]
-            noise = self.sigma * jax.random.normal(key, (n, 1))
-            d = jnp.linalg.norm(var2[:, :2] - var1[:, :2], axis=1,
-                                keepdims=True)
-            return d + noise
-        ks, kh = jax.random.split(key)
+            return _range_sample_obs(key, self.sigma, var1[:, :2],
+                                     var2[:, :2])
         if var2 is None:
             var1 = jnp.asarray(var1)
-            shift = _ring_shift(ks, self.obs, self.sigma, var1.shape[0])
-            return self._heading_pad(kh, var1[:, :2] + shift, self.var2)
+            return _range_sample_dir(key, self.obs, self.sigma,
+                                     var1[:, :2], self.var2.dim == 3)
         var2 = jnp.asarray(var2)
-        shift = _ring_shift(ks, self.obs, self.sigma, var2.shape[0])
-        return self._heading_pad(kh, var2[:, :2] + shift, self.var1)
+        return _range_sample_dir(key, self.obs, self.sigma, var2[:, :2],
+                                 self.var1.dim == 3)
 
     def unif_to_sample(self, u, var1=None, var2=None):
         u = jnp.asarray(u).reshape(-1)

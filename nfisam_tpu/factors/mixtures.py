@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.variables import Variable
+from ..utils.keys import split_host
 from .factors import (FACTOR_REGISTRY, BinaryFactor, Factor,
                       LikelihoodFactor, register_factor)
 
@@ -130,9 +131,9 @@ class BinaryFactorMixture(LikelihoodFactor):
         """Draw observation columns given samples of all endpoint vars
         (reference ``Factors.py:3146-3157``)."""
         n = var_samples[self.observer_var].shape[0]
-        kc, ks = jax.random.split(key)
+        kc, ks = split_host(key)
         comps = self._component_assignment(kc, n)
-        keys = jax.random.split(ks, len(self.components))
+        keys = split_host(ks, len(self.components))
         out = jnp.zeros((n, self.measurement_dim))
         for i, comp in enumerate(self.components):
             obs_i = comp.sample(keys[i], var1=var_samples[comp.var1],
@@ -228,9 +229,9 @@ class AmbiguousDataAssociationFactor(BinaryMixtureWithSameData, KWayFactor):
         """Sample the observer variable given all observed vars
         (reference ``Factors.py:3260``)."""
         n = var2sample[self.observed_vars[0]].shape[0]
-        kc, ks = jax.random.split(key)
+        kc, ks = split_host(key)
         comps = self._component_assignment(kc, n)
-        keys = jax.random.split(ks, len(self.components))
+        keys = split_host(ks, len(self.components))
         out = jnp.zeros((n, self.observer_var.dim))
         for i, comp in enumerate(self.components):
             if comp.var1 == self.observer_var:
@@ -269,9 +270,9 @@ class BinaryFactorWithNullHypo(BinaryMixtureWithSameData, BinaryFactor):
     def _mixture_binary_sample(self, key, var1=None, var2=None):
         given = var1 if var1 is not None else var2
         n = jnp.asarray(given).shape[0]
-        kc, ks = jax.random.split(key)
+        kc, ks = split_host(key)
         comps = self._component_assignment(kc, n)
-        keys = jax.random.split(ks, len(self.components))
+        keys = split_host(ks, len(self.components))
         outs = []
         for i, comp in enumerate(self.components):
             outs.append(comp.sample(keys[i], var1=var1, var2=var2))
@@ -285,9 +286,9 @@ class BinaryFactorWithNullHypo(BinaryMixtureWithSameData, BinaryFactor):
             raise ValueError("need samples of at least one variable")
         if var1 is not None and var2 is not None:
             n = jnp.asarray(var1).shape[0]
-            kc, ks = jax.random.split(key)
+            kc, ks = split_host(key)
             comps = self._component_assignment(kc, n)
-            keys = jax.random.split(ks, len(self.components))
+            keys = split_host(ks, len(self.components))
             out = jnp.zeros((n, self.measurement_dim))
             for i, comp in enumerate(self.components):
                 s = comp.sample(keys[i], var1=var1, var2=var2)

@@ -91,6 +91,71 @@ def negative_log_likelihood(flow_params: List[dict], x_norm: jax.Array,
     return -jnp.mean(prior_lp + log_det)
 
 
+# --------------------------------------------------------------------------
+# Cached one-dispatch programs (tunnel-latency critical: each call below is
+# a single compiled executable launch instead of dozens of eager ops)
+# --------------------------------------------------------------------------
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=2048)
+def _conditional_sample_program(cfg: NSFConfig, circ: tuple, sep_dim: int):
+    base = BaseDistribution(cfg.circular_mask)
+    circ_mask = np.asarray(circ, dtype=bool)
+    frontal_dim = cfg.dim - sep_dim
+
+    @jax.jit
+    def run(flow_params, mean, std, key, obs_samples):
+        n = obs_samples.shape[0]
+        if sep_dim > 0:
+            x_prefix = normalize(obs_samples, mean, std, circ_mask, 0)
+        else:
+            x_prefix = None
+        z = base.sample(key, n)[:, sep_dim:sep_dim + frontal_dim]
+        x_full = stack_inverse(flow_params, z, cfg, x_prefix, sep_dim)
+        return unnormalize(x_full[:, sep_dim:], mean, std, circ_mask,
+                           init_dim=sep_dim)
+
+    return run
+
+
+@lru_cache(maxsize=2048)
+def _separator_forward_program(cfg: NSFConfig, circ: tuple, d_sep: int):
+    sub_cfg = NSFConfig(
+        dim=d_sep, num_knots=cfg.num_knots, tail_bound=cfg.tail_bound,
+        hidden_dim=cfg.hidden_dim, num_flows=cfg.num_flows,
+        circular=tuple(bool(c) for c in cfg.circular_mask[:d_sep]))
+    base = BaseDistribution(cfg.circular_mask[:d_sep])
+    circ_mask = np.asarray(circ, dtype=bool)
+
+    @jax.jit
+    def run(flow_params, mean, std, x_sep):
+        x = normalize(x_sep, mean, std, circ_mask, init_dim=0)
+        total_ld = jnp.zeros(x.shape[0])
+        for params in flow_params:
+            sub_params = {k: v[:d_sep] for k, v in params.items()}
+            sub_params["W1"] = sub_params["W1"][:, :, :d_sep]
+            x, ld = flow_forward(sub_params, x, sub_cfg)
+            total_ld = total_ld + ld
+        return x, base.log_prob(x), total_ld
+
+    return run
+
+
+@lru_cache(maxsize=2048)
+def _log_prob_program(cfg: NSFConfig, circ: tuple):
+    base = BaseDistribution(cfg.circular_mask)
+    circ_mask = np.asarray(circ, dtype=bool)
+
+    @jax.jit
+    def run(flow_params, mean, std, x):
+        xn = normalize(x, mean, std, circ_mask, init_dim=0)
+        _, prior_lp, log_det = model_forward(flow_params, xn, cfg, base)
+        return prior_lp + log_det - jnp.sum(jnp.log(std))
+
+    return run
+
+
 @dataclass
 class CliqueFlowModel:
     """Host-side handle to one trained clique density model.
@@ -126,62 +191,40 @@ class CliqueFlowModel:
         return CliqueFlowModel(self.cfg, self.flow_params, self.mean,
                                self.std, self.circular_dim_list, aug_sep_dim)
 
+    @property
+    def _circ_tuple(self):
+        return tuple(bool(c) for c in self.circular_dim_list)
+
     def conditional_sample(self, key: jax.Array, num_samples: int,
                            obs_samples=None) -> jax.Array:
         """Sample frontal dims conditioned on [obs | separator] samples
         (reference ``conditional_sample_given_observation`` NFiSAM.py:120).
-        Returns unnormalized frontal samples (n, frontal_dim)."""
+        One compiled-program launch per call."""
         if obs_samples is None:
             sep_dim = 0
-            x_prefix = None
-            n = num_samples
+            obs_samples = jnp.zeros((num_samples, 0), dtype=jnp.float32)
         else:
-            obs_samples = jnp.asarray(obs_samples)
-            n = obs_samples.shape[0]
+            obs_samples = jnp.asarray(obs_samples, dtype=jnp.float32)
             sep_dim = obs_samples.shape[1]
-            x_prefix = normalize(obs_samples, self.mean, self.std,
-                                 self.circular_dim_list, init_dim=0)
-        frontal_dim = self.cfg.dim - sep_dim
-        z = self.base.sample(key, n)[:, sep_dim:sep_dim + frontal_dim]
-        x_full = stack_inverse(self.flow_params, z, self.cfg, x_prefix,
-                               sep_dim)
-        frontal_norm = x_full[:, sep_dim:]
-        return unnormalize(frontal_norm, self.mean, self.std,
-                           self.circular_dim_list, init_dim=sep_dim)
+        run = _conditional_sample_program(self.cfg, self._circ_tuple,
+                                          sep_dim)
+        return run(self.flow_params, self.mean, self.std, key, obs_samples)
 
     def separator_forward(self, x_sep: jax.Array):
         """Push separator samples through the flow prefix; returns
         (z, separator_prior_logprob, separator_log_det) — the separator
         marginal density used by ``FlowsPriorFactor.log_pdf``
         (reference NFiSAM.py:157-173, 233-251)."""
-        x = normalize(jnp.asarray(x_sep), self.mean, self.std,
-                      self.circular_dim_list, init_dim=0)
-        d_sep = x.shape[-1]
-        sub_cfg = NSFConfig(
-            dim=d_sep, num_knots=self.cfg.num_knots,
-            tail_bound=self.cfg.tail_bound, hidden_dim=self.cfg.hidden_dim,
-            num_flows=self.cfg.num_flows,
-            circular=tuple(bool(c) for c in
-                           self.cfg.circular_mask[:d_sep]))
-        total_ld = jnp.zeros(x.shape[0])
-        for params in self.flow_params:
-            sub_params = {k: v[:d_sep] for k, v in params.items()}
-            # W1's input axis must also shrink to the separator prefix
-            sub_params["W1"] = sub_params["W1"][:, :, :d_sep]
-            x, ld = flow_forward(sub_params, x, sub_cfg)
-            total_ld = total_ld + ld
-        base = BaseDistribution(self.cfg.circular_mask[:d_sep])
-        return x, base.log_prob(x), total_ld
+        x_sep = jnp.asarray(x_sep, dtype=jnp.float32)
+        run = _separator_forward_program(self.cfg, self._circ_tuple,
+                                         x_sep.shape[-1])
+        return run(self.flow_params, self.mean, self.std, x_sep)
 
     def log_prob(self, x: jax.Array) -> jax.Array:
         """Full joint log density of unnormalized samples (n, dim)."""
-        xn = normalize(jnp.asarray(x), self.mean, self.std,
-                       self.circular_dim_list, init_dim=0)
-        z, prior_lp, log_det = model_forward(self.flow_params, xn, self.cfg,
-                                             self.base)
-        # change of variables for the affine normalization
-        log_std = jnp.sum(jnp.log(self.std))
-        return prior_lp + log_det - log_std
+        run = _log_prob_program(self.cfg, self._circ_tuple)
+        return run(self.flow_params, self.mean, self.std,
+                   jnp.asarray(x, dtype=jnp.float32))
 
     def sample(self, key: jax.Array, num_samples: int) -> jax.Array:
         return self.conditional_sample(key, num_samples)

@@ -55,8 +55,16 @@ def _search_bin(cum: jax.Array, x: jax.Array, num_bins: int) -> jax.Array:
 
 
 def _gather(params: jax.Array, idx: jax.Array) -> jax.Array:
-    """Gather per-element bin parameters: params (..., K), idx (...)."""
-    return jnp.take_along_axis(params, idx[..., None], axis=-1)[..., 0]
+    """Select per-element bin parameters: params (..., K), idx (...).
+
+    Uses a one-hot multiply-reduce instead of ``take_along_axis``: TPU
+    lowers gathers poorly for tiny K, while a masked reduction is a single
+    fused VPU op."""
+    K = params.shape[-1]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, params.shape,
+                                       params.ndim - 1)
+              == idx[..., None])
+    return jnp.sum(jnp.where(onehot, params, 0.0), axis=-1)
 
 
 def rqs(inputs: jax.Array, unnorm_widths: jax.Array, unnorm_heights: jax.Array,

@@ -148,7 +148,8 @@ def execute_schedule(key: jax.Array, schedule: SimulationSchedule,
     ``_obs`` entry of concatenated observation columns."""
     var_samples: Dict[Variable, jax.Array] = {}
     obs_cols: List[jax.Array] = []
-    keys = jax.random.split(key, max(len(schedule.ops), 1))
+    from ..utils.keys import split_host
+    keys = split_host(key, max(len(schedule.ops), 1))
     for op, k in zip(schedule.ops, keys):
         f = op.factor
         if op.kind == "prior":

@@ -21,7 +21,7 @@ from ..core.variables import Variable
 from ..flows.model import (CliqueFlowModel, compute_normalizer, normalize)
 from ..flows.nsf import NSFConfig
 from ..graph.bayes_tree import CliqueNode
-from ..train.trainer import TrainConfig, fit_flow
+from ..train.trainer import TrainConfig, fit_flow_raw
 from .solver import (CliqueSeparatorFactor, ConditionalSampler,
                      FactorGraphSolver, SolverArgs)
 
@@ -198,15 +198,11 @@ class NFiSAM(FactorGraphSolver):
             circular_dim_list += v.circular_dim_list
         cfg = self._flow_config(aug_dim, circular_dim_list)
 
-        circ_mask = np.asarray(circular_dim_list, dtype=bool)
-        mean, std = compute_normalizer(
-            samples, circ_mask,
-            scale_circular=(self._args.flow_type == "NSF_AR"))
-        x_norm = normalize(samples, mean, std, circ_mask)
-
         t0 = time.time()
-        params, iter_loss, n_iters = fit_flow(
-            self._next_key(), x_norm, cfg, self._args.train_config(),
+        params, iter_loss, n_iters, mean, std = fit_flow_raw(
+            self._next_key(), samples, cfg, self._args.train_config(),
+            circular_dim_list,
+            scale_circular=(self._args.flow_type == "NSF_AR"),
             mesh=self._args.data_parallel_mesh)
         n_iters = int(n_iters)
         if timer is not None:

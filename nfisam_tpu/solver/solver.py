@@ -29,6 +29,7 @@ from ..factors.factors import Factor, ImplicitPriorFactor
 from ..graph.bayes_tree import BayesTree, CliqueNode
 from ..graph.factor_graph import FactorGraph
 from ..samplers.simulation import SimulationBasedSampler
+from ..utils.keys import KeyStream
 
 
 @dataclass
@@ -76,12 +77,12 @@ class FactorGraphSolver:
         self._elimination_ordering: List[Variable] = []
         self._reverse_ordering_map: Dict[Variable, int] = {}
         self._temp_training_loss: Dict[str, List[float]] = {}
-        self._key = jax.random.PRNGKey(args.seed)
+        self._keys = KeyStream(args.seed)
 
     # ------------------------------------------------------------ plumbing
-    def _next_key(self) -> jax.Array:
-        self._key, sub = jax.random.split(self._key)
-        return sub
+    def _next_key(self):
+        """Raw threefry key derived on host (zero device round trips)."""
+        return self._keys()
 
     @property
     def elimination_ordering(self) -> List[Variable]:

@@ -1,1 +1,1 @@
-from .trainer import TrainConfig, fit_flow
+from .trainer import TrainConfig, fit_flow, fit_flow_raw

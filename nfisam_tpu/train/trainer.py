@@ -26,6 +26,7 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..flows.base_dist import BaseDistribution
@@ -51,13 +52,22 @@ def _build_train_program(cfg: NSFConfig, tc: TrainConfig,
     base = BaseDistribution(cfg.circular_mask)
     opt = optax.adam(tc.learning_rate)
 
+    # The optimizer state lives on ONE flat vector: a 12-leaf pytree would
+    # cost ~100 small VPU ops per Adam step; flattened it is ~6 fused ops.
+    from jax.flatten_util import ravel_pytree
+
     def loss_fn(params, data):
         return negative_log_likelihood(params, data, cfg, base)
 
-    grad_fn = jax.value_and_grad(loss_fn)
+    def train(params_tree, train_data, test_data):
+        flat0, unravel = ravel_pytree(params_tree)
 
-    @jax.jit
-    def train(params, train_data, test_data):
+        def flat_loss(flat, data):
+            return loss_fn(unravel(flat), data)
+
+        grad_fn = jax.value_and_grad(flat_loss)
+        loss_fn_flat = flat_loss
+
         def body(carry):
             (t, params, opt_state, iter_loss, last_val, slow_iter,
              stop) = carry
@@ -66,7 +76,7 @@ def _build_train_program(cfg: NSFConfig, tc: TrainConfig,
             if has_validation:
                 def run_val(args):
                     last_val, slow_iter = args
-                    val_loss = loss_fn(params, test_data)
+                    val_loss = loss_fn_flat(params, test_data)
                     worse = val_loss > last_val
                     new_slow = jnp.where(
                         worse & (slow_iter < 0),
@@ -118,19 +128,66 @@ def _build_train_program(cfg: NSFConfig, tc: TrainConfig,
             t, *_, stop = carry
             return (~stop) & (t < tc.max_iters)
 
-        opt_state = opt.init(params)
-        init = (jnp.int32(0), params, opt_state,
+        opt_state = opt.init(flat0)
+        init = (jnp.int32(0), flat0, opt_state,
                 jnp.zeros(tc.max_iters), jnp.asarray(jnp.inf),
                 jnp.int32(-1), jnp.asarray(False))
-        t, params, _, iter_loss, *_ = jax.lax.while_loop(cond, body, init)
-        return params, iter_loss, t
+        t, flat, _, iter_loss, *_ = jax.lax.while_loop(cond, body, init)
+        return unravel(flat), iter_loss, t
 
     return train
 
 
 @lru_cache(maxsize=512)
 def _cached_program(cfg: NSFConfig, tc: TrainConfig, has_validation: bool):
-    return _build_train_program(cfg, tc, has_validation)
+    return jax.jit(_build_train_program(cfg, tc, has_validation))
+
+
+@lru_cache(maxsize=512)
+def _cached_full_program(cfg: NSFConfig, tc: TrainConfig,
+                         circ: tuple, scale_circular: bool, n: int):
+    """Single compiled program: param init + shuffle + normalization +
+    train/validation split + the whole Adam loop.  One device dispatch per
+    clique fit — tunnel-latency critical."""
+    from ..flows.model import compute_normalizer, normalize
+
+    n_train = min(int(n * tc.training_set_frac), n)
+    has_validation = n_train < n
+    train = _build_train_program(cfg, tc, has_validation)
+    circ_mask = np.asarray(circ, dtype=bool)
+
+    @jax.jit
+    def run(key, samples_raw):
+        k_init, k_shuffle = jax.random.split(jnp.asarray(key))
+        params = init_flow_params(k_init, cfg)
+        perm = jax.random.permutation(k_shuffle, samples_raw.shape[0])
+        samples_raw = samples_raw[perm]
+        mean, std = compute_normalizer(samples_raw, circ_mask,
+                                       scale_circular=scale_circular)
+        xn = normalize(samples_raw, mean, std, circ_mask)
+        train_data = xn[:n_train]
+        test_data = xn[n_train:] if has_validation else \
+            jnp.zeros((1, cfg.dim))
+        params, iter_loss, t = train(params, train_data, test_data)
+        return params, iter_loss, t, mean, std
+
+    return run
+
+
+def fit_flow_raw(key, samples_raw, cfg: NSFConfig, tc: TrainConfig,
+                 circular_dim_list, scale_circular: bool = True,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+    """Fit a clique flow from raw (unnormalized) samples in ONE compiled
+    call.  Returns (params, iter_loss, n_iters, mean, std)."""
+    samples_raw = jnp.asarray(samples_raw, dtype=jnp.float32)
+    circ = tuple(bool(c) for c in circular_dim_list)
+    program = _cached_full_program(cfg, tc, circ, scale_circular,
+                                   int(samples_raw.shape[0]))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        samples_raw = jax.device_put(
+            samples_raw, NamedSharding(mesh, P(None, None)))
+    return program(key, samples_raw)
 
 
 def fit_flow(key: jax.Array, samples_norm: jax.Array, cfg: NSFConfig,

@@ -1,0 +1,1 @@
+from .keys import KeyStream, host_key, split_host
