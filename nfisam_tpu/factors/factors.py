@@ -1047,19 +1047,24 @@ class _RangeFactorBase(LikelihoodFactor, BinaryFactor):
                                  self.var1.dim == 3)
 
     def unif_to_sample(self, u, var1=None, var2=None):
-        u = jnp.asarray(u).reshape(-1)
-        dist = self.sigma * jax.scipy.stats.norm.ppf(u[0]) + self.obs[0]
-        ang = (u[1] - 0.5) * _TWO_PI
-        shift = jnp.array([dist * jnp.cos(ang), dist * jnp.sin(ang)])
+        """Supports both a single ``(du,)`` draw and batched ``(n, du)``."""
+        u = jnp.asarray(u)
+        squeeze = u.ndim == 1
+        u = jnp.atleast_2d(u)
+        dist = self.sigma * jax.scipy.stats.norm.ppf(u[:, 0]) + self.obs[0]
+        ang = (u[:, 1] - 0.5) * _TWO_PI
+        shift = jnp.stack([dist * jnp.cos(ang), dist * jnp.sin(ang)], -1)
         if var1 is None and var2 is None:
             raise ValueError("need one var")
-        src = jnp.asarray(var2 if var1 is None else var1).reshape(-1)
+        src = jnp.atleast_2d(jnp.asarray(var2 if var1 is None else var1))
         target = self.var1 if var1 is None else self.var2
-        xy = src[:2] + shift
+        xy = src[:, :2] + shift
         if target.dim == 2:
-            return xy
-        heading = (u[2] - 0.5) * _TWO_PI
-        return jnp.concatenate([xy, jnp.array([heading])])
+            out = xy
+        else:
+            heading = (u[:, 2] - 0.5) * _TWO_PI
+            out = jnp.concatenate([xy, heading[:, None]], -1)
+        return out[0] if squeeze else out
 
     def log_pdf(self, x):
         x = jnp.asarray(x)

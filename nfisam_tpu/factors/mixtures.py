@@ -298,14 +298,27 @@ class BinaryFactorWithNullHypo(BinaryMixtureWithSameData, BinaryFactor):
 
     def unif_to_sample(self, u, var1=None, var2=None):
         """CDF-inversion through the mixture: the first uniform coordinate
-        picks the component and is rescaled (``Factors.py:3376-3404``)."""
-        u = np.asarray(u, dtype=float).copy()
-        comp_idx = int(np.searchsorted(self.cum_weights, u[0], side="right"))
-        comp_idx = min(comp_idx, len(self.components) - 1)
-        offset = 0.0 if comp_idx == 0 else self.cum_weights[comp_idx - 1]
-        u[0] = (u[0] - offset) / self.weights[comp_idx]
-        return self.components[comp_idx].unif_to_sample(u, var1=var1,
-                                                        var2=var2)
+        picks the component and is rescaled (``Factors.py:3376-3404``).
+        Supports single ``(du,)`` and batched ``(n, du)`` input."""
+        u = jnp.asarray(u, dtype=jnp.float32)
+        squeeze = u.ndim == 1
+        u = jnp.atleast_2d(u)
+        cum = jnp.asarray(self.cum_weights)
+        comp_idx = jnp.clip(
+            jnp.sum((u[:, :1] >= cum[None, :-1]).astype(jnp.int32), axis=1),
+            0, len(self.components) - 1)
+        offsets = jnp.concatenate([jnp.zeros(1), cum[:-1]])
+        w = jnp.asarray(self.weights)
+        u0 = (u[:, 0] - offsets[comp_idx]) / w[comp_idx]
+        u = u.at[:, 0].set(jnp.clip(u0, 0.0, 1.0))
+        v1 = None if var1 is None else jnp.atleast_2d(jnp.asarray(var1))
+        v2 = None if var2 is None else jnp.atleast_2d(jnp.asarray(var2))
+        outs = [comp.unif_to_sample(u, var1=v1, var2=v2)
+                for comp in self.components]
+        out = outs[0]
+        for i in range(1, len(outs)):
+            out = jnp.where((comp_idx == i)[:, None], outs[i], out)
+        return out[0] if squeeze else out
 
     def __str__(self):
         tail = self._str_tail() + ["NullSigmaScale", str(self.null_sigma_scale)]

@@ -141,22 +141,26 @@ class FlowsPriorFactor(CliqueSeparatorFactor):
         return self._flow_model.conditional_sample(key, 0, obs_samples=obs)
 
     def unif_to_sample(self, u) -> jax.Array:
+        """Single ``(d,)`` or batched ``(n, d)`` uniform-cube transform."""
+        u = jnp.asarray(u, dtype=jnp.float32)
+        squeeze = u.ndim == 1
         z = jax.scipy.stats.norm.ppf(
-            jnp.clip(jnp.asarray(u, dtype=jnp.float32).reshape(1, -1),
-                     1e-12, 1.0 - 1e-12))
+            jnp.clip(jnp.atleast_2d(u), 1e-12, 1.0 - 1e-12))
         from ..flows.model import unnormalize
         from ..flows.nsf import stack_inverse
         m = self._flow_model
         if self._obs_dim == 0:
             x_prefix, sep = None, 0
         else:
-            obs = jnp.asarray(self._true_obs, dtype=jnp.float32)[None]
+            obs = jnp.broadcast_to(
+                jnp.asarray(self._true_obs, dtype=jnp.float32),
+                (z.shape[0], self._obs_dim))
             x_prefix = normalize(obs, m.mean, m.std, m.circular_dim_list, 0)
             sep = self._obs_dim
         x_full = stack_inverse(m.flow_params, z, m.cfg, x_prefix, sep)
         out = unnormalize(x_full[:, sep:], m.mean, m.std,
                           m.circular_dim_list, init_dim=sep)
-        return out[0]
+        return out[0] if squeeze else out
 
     def __str__(self) -> str:
         return "Factor FlowsPriorFactor " + \

@@ -1,0 +1,110 @@
+"""Comparison-sampler tests: all three global samplers must agree with the
+closed-form posterior of a linear-Gaussian graph (the reference validates
+only by example scripts; SURVEY §4 oracle pattern (1))."""
+import jax
+import numpy as np
+import pytest
+
+from nfisam_tpu.core import R2Variable, SE2Variable
+from nfisam_tpu.eval import gaussian_displacement_graph_moments
+from nfisam_tpu.factors import (R2RangeGaussianLikelihoodFactor,
+                                R2RelativeGaussianLikelihoodFactor,
+                                UnaryR2GaussianPriorFactor)
+from nfisam_tpu.samplers import (GlobalMCMCSampler, GlobalNestedSampler,
+                                 GlobalSMCSampler, JointFactor,
+                                 StructuredJointFactor)
+
+KEY = np.array([0, 3], dtype=np.uint32)
+
+
+def _gaussian_graph():
+    """X0 -- X1 chain with an extra (cycle-forming) prior on X1."""
+    x0, x1 = R2Variable("X0"), R2Variable("X1")
+    cov = np.eye(2) * 0.5
+    p0 = UnaryR2GaussianPriorFactor(x0, np.zeros(2), covariance=cov)
+    rel = R2RelativeGaussianLikelihoodFactor(x0, x1, np.array([2.0, 1.0]),
+                                             covariance=cov)
+    p1 = UnaryR2GaussianPriorFactor(x1, np.array([2.5, 1.0]),
+                                    covariance=cov)
+    mu, Sigma = gaussian_displacement_graph_moments(
+        [x0, x1], {(x0, x1): (np.array([2.0, 1.0]), cov)},
+        {x0: (np.zeros(2), cov), x1: (np.array([2.5, 1.0]), cov)})
+    return [x0, x1], [p0, rel, p1], mu, Sigma
+
+
+def test_joint_factor_log_pdf_additive():
+    vars_, factors, mu, Sigma = _gaussian_graph()
+    jf = JointFactor(factors, vars_)
+    x = np.random.default_rng(0).normal(size=(8, 4)).astype(np.float32)
+    got = np.asarray(jf.log_pdf(x))
+    want = sum(np.asarray(f.log_pdf(x[:, jf.factor_to_indices[f]]))
+               for f in factors)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_joint_factor_grad():
+    vars_, factors, mu, Sigma = _gaussian_graph()
+    jf = JointFactor(factors, vars_)
+    x = np.zeros((1, 4), dtype=np.float32)
+    g = np.asarray(jf.grad_x_log_pdf(x))[0]
+    prec = np.linalg.inv(Sigma)
+    want = -prec @ (x[0] - mu)
+    np.testing.assert_allclose(g, want, rtol=1e-3, atol=1e-3)
+
+
+def test_structured_joint_direct_sampling_tree():
+    x0, x1 = R2Variable("X0"), R2Variable("X1")
+    cov = np.eye(2) * 0.25
+    factors = [UnaryR2GaussianPriorFactor(x0, np.zeros(2), covariance=cov),
+               R2RelativeGaussianLikelihoodFactor(
+                   x0, x1, np.array([1.0, 0.0]), covariance=cov)]
+    sj = StructuredJointFactor(factors, [x0, x1])
+    assert sj.if_direct_sampling
+    s = np.asarray(sj.sample(KEY, 20000))
+    np.testing.assert_allclose(s[:, 2:].mean(0), [1.0, 0.0], atol=0.05)
+    np.testing.assert_allclose(s[:, 2:].var(0), 0.5, rtol=0.1)
+
+
+def test_structured_ptform_matches_sample_distribution():
+    x0, x1 = R2Variable("X0"), R2Variable("X1")
+    cov = np.eye(2) * 0.25
+    factors = [UnaryR2GaussianPriorFactor(x0, np.zeros(2), covariance=cov),
+               R2RelativeGaussianLikelihoodFactor(
+                   x0, x1, np.array([1.0, 0.0]), covariance=cov)]
+    sj = StructuredJointFactor(factors, [x0, x1])
+    u = np.asarray(jax.random.uniform(jax.random.PRNGKey(0), (20000, 4)))
+    x = np.asarray(sj.ptform(u))
+    s = np.asarray(sj.sample(KEY, 20000))
+    np.testing.assert_allclose(x.mean(0), s.mean(0), atol=0.05)
+    np.testing.assert_allclose(x.std(0), s.std(0), atol=0.05)
+
+
+@pytest.mark.parametrize("sampler_cls,kwargs", [
+    (GlobalNestedSampler, {"live_points": 400, "max_iters": 1500}),
+    (GlobalSMCSampler, {"num_samples": 2000}),
+    (GlobalMCMCSampler, {"num_samples": 1500, "num_warmup": 200}),
+])
+def test_global_samplers_match_closed_form(sampler_cls, kwargs):
+    vars_, factors, mu, Sigma = _gaussian_graph()
+    sampler = sampler_cls(nodes=vars_, factors=factors)
+    s = np.asarray(sampler.sample(**kwargs))
+    got_mu = s.mean(0)
+    got_cov = np.cov(s.T)
+    np.testing.assert_allclose(got_mu, mu, atol=0.12)
+    np.testing.assert_allclose(np.diag(got_cov), np.diag(Sigma), rtol=0.45)
+
+
+def test_nested_sampler_ring_posterior():
+    """Range-only graph: the landmark posterior is a ring; nested sampling
+    must recover it (non-Gaussian oracle)."""
+    x0, l1 = R2Variable("X0"), R2Variable("L1")
+    cov = np.eye(2) * 0.01
+    factors = [UnaryR2GaussianPriorFactor(x0, np.zeros(2), covariance=cov),
+               R2RangeGaussianLikelihoodFactor(x0, l1, 5.0, 0.2),
+               UnaryR2GaussianPriorFactor(
+                   l1, np.array([5.0, 0.0]), covariance=np.eye(2) * 9.0)]
+    ns = GlobalNestedSampler(nodes=[x0, l1], factors=factors)
+    s = ns.sample(live_points=400, max_iters=1500)
+    r = np.linalg.norm(s[:, 2:] - s[:, :2], axis=1)
+    assert abs(r.mean() - 5.0) < 0.15
+    assert r.std() < 0.5
