@@ -1,0 +1,2 @@
+from .manhattan import (ManhattanGrid, ManhattanSimulator, SimulationArgs,
+                        GridRobot, GridBeacon)

@@ -88,6 +88,19 @@ def run_incrementally(case_dir: str, solver: FactorGraphSolver,
             with open(f"{run_dir}/{fname}", "w") as f:
                 f.write(" ".join(str(t) for t in data))
 
+        if plot_args is not None:
+            from ..eval.viz import plot_2d_samples
+            plot_2d_samples(
+                samples_mapping=cur_sample,
+                equal_axis=True,
+                truth=None if truth is None else {
+                    v: p for v, p in truth.items()
+                    if v in solver.physical_vars},
+                truth_factors={f for f in solver.physical_factors
+                               if set(f.vars).issubset(
+                                   solver.physical_vars)},
+                title=f"Step {i}", file_name=f"{prefix}.png", **plot_args)
+
         if mixture_factor2weights:
             with open(f"{prefix}.hypoweights", "w") as hf:
                 for factor, weights in mixture_factor2weights.items():
