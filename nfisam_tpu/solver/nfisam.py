@@ -43,6 +43,7 @@ class NFiSAMArgs(SolverArgs):
     training_loss_dir: Optional[str] = None
     # TPU extensions
     data_parallel_mesh: Optional[object] = None   # jax.sharding.Mesh
+    checkpoint_dir: Optional[str] = None          # persist clique models
 
     def json_str(self) -> str:
         d = {k: v for k, v in self.__dict__.items()
@@ -92,6 +93,14 @@ class FlowsPriorFactor(CliqueSeparatorFactor):
         self._circular_dim_list = list(circular_dim_list)
         self._next_key = key_source
         assert self.dim == len(self._circular_dim_list)
+        # cheap content fingerprint of the backing flow (checkpoint
+        # invalidation for downstream cliques)
+        import hashlib
+        hh = hashlib.sha256()
+        hh.update(np.asarray(flow_model.mean).tobytes())
+        hh.update(np.asarray(flow_model.std).tobytes())
+        hh.update(np.asarray(flow_model.flow_params[0]["b3"]).tobytes())
+        self.content_tag = hh.hexdigest()[:16]
 
     @property
     def vars(self) -> List[Variable]:
@@ -173,6 +182,36 @@ class NFiSAM(FactorGraphSolver):
     def __init__(self, args: NFiSAMArgs = None):
         super().__init__(args=args or NFiSAMArgs())
         self._args: NFiSAMArgs = self._args
+        self._model_store = None
+        if self._args.checkpoint_dir is not None:
+            from .checkpoint import CliqueModelStore
+            self._model_store = CliqueModelStore(self._args.checkpoint_dir)
+
+    def _clique_signature(self, clique):
+        from .checkpoint import clique_signature
+        subgraph = self._working_graph.clique_subgraph(clique)
+        pattern = self._working_bayes_tree.clique_variable_pattern(clique)
+        from ..samplers.simulation import compile_schedule
+        schedule = compile_schedule(subgraph.factors, pattern)
+        circ = []
+        for v in schedule.var_ordering:
+            circ += v.circular_dim_list
+        cfg = self._flow_config(len(circ), circ)
+        return clique_signature(clique, schedule.var_ordering,
+                                subgraph.factors, cfg), schedule
+
+    def try_load_clique_model(self, clique):
+        """Warm start from the checkpoint store when the clique's factors,
+        column ordering, and flow config are unchanged (SURVEY §5:
+        checkpoint keyed by clique signature)."""
+        if self._model_store is None:
+            return None
+        sig, schedule = self._clique_signature(clique)
+        model = self._model_store.load(sig)
+        if model is None:
+            return None
+        return (FlowModelAdapter(model, self._next_key),
+                schedule.unused_obs)
 
     # ------------------------------------------------------------- fitting
     def _flow_config(self, aug_dim: int,
@@ -223,6 +262,9 @@ class NFiSAM(FactorGraphSolver):
 
         model = CliqueFlowModel(cfg, params, mean, std, circular_dim_list,
                                 aug_sep_dim)
+        if self._model_store is not None:
+            sig, _ = self._clique_signature(clique)
+            self._model_store.save(sig, model)
         return FlowModelAdapter(model, self._next_key)
 
     # ----------------------------------------------------------- recycling

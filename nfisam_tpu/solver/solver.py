@@ -257,6 +257,11 @@ class FactorGraphSolver:
                                  timer) -> "ConditionalSampler":
         raise NotImplementedError
 
+    def try_load_clique_model(self, clique):
+        """Hook: return (model, true_obs) from a checkpoint store, or None
+        to simulate + train (subclass policy)."""
+        return None
+
     def root_clique_density_model_to_leaf(self, old_clique, new_clique):
         raise NotImplementedError
 
@@ -282,21 +287,25 @@ class FactorGraphSolver:
                         [clique.dim, time.time() - t_begin])
                 continue
 
-            t0 = time.time()
-            local_samples, sample_var_ordering, true_obs = \
-                self.clique_training_sampler(
-                    clique, num_samples=self._args.local_sample_num,
-                    method=self._args.local_sampling_method)
-            if timer is not None:
-                timer.append(time.time() - t0)
+            restored = self.try_load_clique_model(clique)
+            if restored is not None:
+                model, true_obs = restored
+            else:
+                t0 = time.time()
+                local_samples, sample_var_ordering, true_obs = \
+                    self.clique_training_sampler(
+                        clique, num_samples=self._args.local_sample_num,
+                        method=self._args.local_sampling_method)
+                if timer is not None:
+                    timer.append(time.time() - t0)
 
+                if self._args.store_clique_samples:
+                    self._clique_samples[clique] = np.asarray(local_samples)
+
+                model = self.fit_clique_density_model(
+                    clique=clique, samples=local_samples,
+                    var_ordering=sample_var_ordering, timer=timer)
             self._clique_true_obs[clique] = true_obs
-            if self._args.store_clique_samples:
-                self._clique_samples[clique] = np.asarray(local_samples)
-
-            model = self.fit_clique_density_model(
-                clique=clique, samples=local_samples,
-                var_ordering=sample_var_ordering, timer=timer)
             self._clique_density_model[clique] = model
             new_sep_factor = None
             if clique.separator:
