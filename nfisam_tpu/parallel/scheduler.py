@@ -1,0 +1,164 @@
+"""Clique-parallel training scheduler.
+
+The reference trains Bayes-tree cliques strictly sequentially even though
+leaves-to-root order only requires parents to wait on children
+(``FactorGraphSolver.py:423-477``; SURVEY §2.3 calls this out as the
+unexploited tree-level parallelism).  This scheduler:
+
+1. partitions the un-modeled cliques into **wavefronts** — a clique joins a
+   wavefront once all of its children are modeled;
+2. inside a wavefront, buckets cliques by training signature
+   ``(aug_dim, circular mask, sample count)`` and trains each bucket as a
+   single vmapped program — one ``while_loop`` drives all of them, so the
+   bucket costs the wall time of its slowest member;
+3. on a multi-chip mesh the bucket's clique axis can additionally be
+   sharded (see ``parallel/mesh.py``) — clique parallelism over chips,
+   data parallelism within a clique.
+
+``ParallelNFiSAM`` is a drop-in replacement for ``NFiSAM``.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..flows.model import CliqueFlowModel
+from ..graph.bayes_tree import CliqueNode
+from ..samplers.simulation import SimulationBasedSampler
+from ..solver.nfisam import FlowModelAdapter, NFiSAM
+from ..train.trainer import fit_flows_batched
+
+
+def wavefronts(clique_ordering: List[CliqueNode],
+               already_modeled) -> List[List[CliqueNode]]:
+    """Partition cliques into leaves-first waves; a clique is ready once
+    every child is modeled or scheduled in an earlier wave."""
+    done = set(c for c in clique_ordering if c in already_modeled)
+    remaining = [c for c in clique_ordering if c not in done]
+    waves: List[List[CliqueNode]] = []
+    while remaining:
+        wave = [c for c in remaining
+                if all(ch in done for ch in c.children)]
+        if not wave:
+            raise RuntimeError("Cyclic clique dependency (corrupt tree)")
+        waves.append(wave)
+        done.update(wave)
+        remaining = [c for c in remaining if c not in done]
+    return waves
+
+
+class ParallelNFiSAM(NFiSAM):
+    """NF-iSAM with wavefront-parallel clique training."""
+
+    def fit_tree_density_models(self, timer: Optional[List[float]] = None,
+                                clique_dim_timer: Optional[List] = None,
+                                *args, **kwargs) -> None:
+        self._temp_training_loss = {}
+        ordering = self._working_bayes_tree.clique_ordering()
+        t_begin = time.time()
+        waves = wavefronts(ordering, self._clique_density_model)
+        for wave in waves:
+            # ---- simulate all cliques in the wave -----------------------
+            sims = []
+            for clique in wave:
+                restored = self.try_load_clique_model(clique)
+                if restored is not None:
+                    model, true_obs = restored
+                    self._clique_true_obs[clique] = true_obs
+                    self._clique_density_model[clique] = model
+                    self._finish_clique(clique, model)
+                    continue
+                t0 = time.time()
+                subgraph = self._working_graph.clique_subgraph(clique)
+                pattern = self._working_bayes_tree.clique_variable_pattern(
+                    clique)
+                sampler = SimulationBasedSampler(factors=subgraph.factors,
+                                                 vars=pattern)
+                samples, var_ordering, true_obs = sampler.sample(
+                    self._next_key(), self._args.local_sample_num)
+                if timer is not None:
+                    timer.append(time.time() - t0)
+                self._clique_true_obs[clique] = true_obs
+                if self._args.store_clique_samples:
+                    self._clique_samples[clique] = np.asarray(samples)
+                sims.append((clique, samples, var_ordering))
+
+            # ---- bucket by (dim, circular mask, n) and batch-train ------
+            buckets: Dict[Tuple, List] = {}
+            for clique, samples, var_ordering in sims:
+                circ = []
+                for v in var_ordering:
+                    circ += v.circular_dim_list
+                key = (samples.shape[-1], tuple(circ), samples.shape[0])
+                buckets.setdefault(key, []).append(
+                    (clique, samples, var_ordering, circ))
+
+            for (aug_dim, circ, n), items in buckets.items():
+                t0 = time.time()
+                cfg = self._flow_config(aug_dim, list(circ))
+                tc = self._args.train_config()
+                scale_circ = self._args.flow_type == "NSF_AR"
+                if len(items) == 1:
+                    clique, samples, var_ordering, circ_l = items[0]
+                    from ..train.trainer import fit_flow_raw
+                    params, iter_loss, n_iters, mean, std = fit_flow_raw(
+                        self._next_key(), samples, cfg, tc, circ_l,
+                        scale_circular=scale_circ,
+                        mesh=self._args.data_parallel_mesh)
+                    stacked = [(clique, var_ordering, params, iter_loss,
+                                n_iters, mean, std)]
+                else:
+                    keys = np.stack([self._next_key() for _ in items])
+                    samples_stack = np.stack(
+                        [np.asarray(s) for (_, s, _, _) in items])
+                    p_s, il_s, t_s, m_s, s_s = fit_flows_batched(
+                        keys, samples_stack, cfg, tc, list(circ),
+                        scale_circular=scale_circ)
+                    stacked = []
+                    for b, (clique, _, var_ordering, _) in enumerate(items):
+                        import jax
+                        params = jax.tree_util.tree_map(
+                            lambda x: x[b], p_s)
+                        stacked.append((clique, var_ordering, params,
+                                        il_s[b], t_s[b], m_s[b], s_s[b]))
+                if timer is not None:
+                    timer.append(time.time() - t0)
+
+                for (clique, var_ordering, params, iter_loss, n_iters,
+                     mean, std) in stacked:
+                    circ_l = []
+                    for v in var_ordering:
+                        circ_l += v.circular_dim_list
+                    aug_sep_dim = aug_dim - clique.frontal_dim
+                    model = CliqueFlowModel(cfg, params, mean, std, circ_l,
+                                            aug_sep_dim)
+                    adapter = FlowModelAdapter(model, self._next_key)
+                    clique_name = "".join(str(v.name)
+                                          for v in clique.vars)
+                    n_it = int(n_iters)
+                    self._temp_training_loss[clique_name] = [
+                        float(l) for l in np.asarray(iter_loss)[:n_it]]
+                    if self._model_store is not None:
+                        sig, _ = self._clique_signature(clique)
+                        self._model_store.save(sig, model)
+                    self._clique_density_model[clique] = adapter
+                    self._finish_clique(clique, adapter)
+                    if clique_dim_timer is not None:
+                        clique_dim_timer.append(
+                            [clique.dim, time.time() - t_begin])
+
+    def _finish_clique(self, clique: CliqueNode, model) -> None:
+        """Emit the separator-marginal factor and eliminate the clique from
+        the working graph."""
+        new_sep_factor = None
+        if clique.separator:
+            sep_list = sorted(
+                clique.separator,
+                key=lambda v: self._reverse_ordering_map[v])
+            new_sep_factor = self.clique_density_to_separator_factor(
+                sep_list, model, self._clique_true_obs[clique])
+            self._implicit_factors[clique] = new_sep_factor
+        self._working_graph = self._working_graph.without_clique(
+            clique=clique, new_factor=new_sep_factor)

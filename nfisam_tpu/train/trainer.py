@@ -143,12 +143,11 @@ def _cached_program(cfg: NSFConfig, tc: TrainConfig, has_validation: bool):
     return jax.jit(_build_train_program(cfg, tc, has_validation))
 
 
-@lru_cache(maxsize=512)
-def _cached_full_program(cfg: NSFConfig, tc: TrainConfig,
-                         circ: tuple, scale_circular: bool, n: int):
-    """Single compiled program: param init + shuffle + normalization +
-    train/validation split + the whole Adam loop.  One device dispatch per
-    clique fit — tunnel-latency critical."""
+def _full_fit_core(cfg: NSFConfig, tc: TrainConfig, circ: tuple,
+                   scale_circular: bool, n: int):
+    """Pure fit function: param init + shuffle + normalization +
+    train/validation split + the whole Adam loop, as one traceable call.
+    (key, samples_raw) -> (params, iter_loss, n_iters, mean, std)."""
     from ..flows.model import compute_normalizer, normalize
 
     n_train = min(int(n * tc.training_set_frac), n)
@@ -156,7 +155,6 @@ def _cached_full_program(cfg: NSFConfig, tc: TrainConfig,
     train = _build_train_program(cfg, tc, has_validation)
     circ_mask = np.asarray(circ, dtype=bool)
 
-    @jax.jit
     def run(key, samples_raw):
         k_init, k_shuffle = jax.random.split(jnp.asarray(key))
         params = init_flow_params(k_init, cfg)
@@ -172,6 +170,39 @@ def _cached_full_program(cfg: NSFConfig, tc: TrainConfig,
         return params, iter_loss, t, mean, std
 
     return run
+
+
+@lru_cache(maxsize=512)
+def _cached_full_program(cfg: NSFConfig, tc: TrainConfig,
+                         circ: tuple, scale_circular: bool, n: int):
+    """One device dispatch per clique fit — tunnel-latency critical."""
+    return jax.jit(_full_fit_core(cfg, tc, circ, scale_circular, n))
+
+
+@lru_cache(maxsize=512)
+def _cached_batched_program(cfg: NSFConfig, tc: TrainConfig, circ: tuple,
+                            scale_circular: bool, n: int, batch: int):
+    """vmap of the full fit over a stack of same-signature cliques: one
+    while_loop trains all of them, wall time = the slowest member — the
+    tree-level parallelism the reference leaves unexploited
+    (``FactorGraphSolver.py:423-477``; SURVEY §2.3)."""
+    core = _full_fit_core(cfg, tc, circ, scale_circular, n)
+    return jax.jit(jax.vmap(core))
+
+
+def fit_flows_batched(keys, samples_stack, cfg: NSFConfig, tc: TrainConfig,
+                      circular_dim_list, scale_circular: bool = True):
+    """Train ``B`` same-signature clique flows concurrently.
+
+    ``keys`` (B, 2) raw key data; ``samples_stack`` (B, n, dim).
+    Returns stacked (params, iter_loss, n_iters, mean, std).
+    """
+    samples_stack = jnp.asarray(samples_stack, dtype=jnp.float32)
+    B, n = samples_stack.shape[0], samples_stack.shape[1]
+    circ = tuple(bool(c) for c in circular_dim_list)
+    program = _cached_batched_program(cfg, tc, circ, scale_circular,
+                                      int(n), int(B))
+    return program(jnp.asarray(keys), samples_stack)
 
 
 def fit_flow_raw(key, samples_raw, cfg: NSFConfig, tc: TrainConfig,
