@@ -1,8 +1,13 @@
 """Generate a lawnmower Manhattan-world range-SLAM dataset and solve it
 incrementally (the reference's ``lawnmower_4x4`` benchmark family:
 ``example/slam/manhattan_world_with_range/``)."""
-import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+import argparse
 
 import numpy as np
 

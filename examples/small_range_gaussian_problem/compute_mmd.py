@@ -4,6 +4,10 @@ RBF kernel, 500-sample subsets, translation dims)."""
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+
 import numpy as np
 
 from nfisam_tpu.eval import mmd

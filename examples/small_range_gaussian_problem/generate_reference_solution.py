@@ -2,6 +2,11 @@
 ``icra_paper/generate_reference_solution.py`` /
 ``dynesty_run_batch`` role)."""
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
 
 import numpy as np
 

@@ -3,6 +3,11 @@
 (``example/slam/small_range_gaussian_problem/run_nfisam.py``) with the
 journal-paper configuration."""
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
 
 from nfisam_tpu.io import (graph_file_parser,
                            group_nodes_factors_incrementally)

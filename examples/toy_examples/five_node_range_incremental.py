@@ -1,5 +1,11 @@
 """Five-node SE(2) + range toy graph, batch and incremental (the
 reference's ``example/slam/toy_examples/SE2RangeGaussian_example/``)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
 import numpy as np
 
 from nfisam_tpu.core import R2Variable, SE2Variable, VariableType
