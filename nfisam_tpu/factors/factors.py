@@ -39,6 +39,14 @@ _LOG_TWO_PI = float(np.log(_TWO_PI))
 
 FACTOR_REGISTRY: Dict[str, type] = {}
 
+def _se2_inverse_np(pose: np.ndarray) -> np.ndarray:
+    """Host-side SE(2) inverse for factor construction (no device ops)."""
+    x, y, th = float(pose[0]), float(pose[1]), float(pose[2])
+    c, si = np.cos(th), np.sin(th)
+    return np.array([-(c * x + si * y), -(-si * x + c * y),
+                     float((-th + np.pi) % (2 * np.pi) - np.pi)])
+
+
 
 def register_factor(cls):
     FACTOR_REGISTRY[cls.__name__] = cls
@@ -403,8 +411,7 @@ class UnarySE2ApproximateGaussianPriorFactor(PriorFactor, UnaryFactor):
                  correlated_R_t: bool = True):
         self._vars = [var]
         self.prior_pose = np.asarray(prior_pose, dtype=np.float64).reshape(3)
-        self.inv_prior = np.asarray(
-            geom.se2_inverse(jnp.asarray(self.prior_pose)))
+        self.inv_prior = _se2_inverse_np(self.prior_pose)
         self.covariance = np.asarray(covariance, dtype=np.float64)
         self.precision = np.linalg.inv(self.covariance)
         self.cov_sqrt = _spd_sqrt(self.covariance)
@@ -704,7 +711,7 @@ class SE2RelativeGaussianLikelihoodFactor(LikelihoodFactor, BinaryFactor):
                  correlated_R_t: bool = True):
         self._vars = [var1, var2]
         self.obs = np.asarray(observation, dtype=np.float64).reshape(3)
-        self.inv_obs = np.asarray(geom.se2_inverse(jnp.asarray(self.obs)))
+        self.inv_obs = _se2_inverse_np(self.obs)
         self.covariance = np.asarray(covariance, dtype=np.float64)
         self.precision = np.linalg.inv(self.covariance)
         self.cov_sqrt = _spd_sqrt(self.covariance)
