@@ -43,11 +43,12 @@ class NFiSAMArgs(SolverArgs):
     training_loss_dir: Optional[str] = None
     # TPU extensions
     data_parallel_mesh: Optional[object] = None   # jax.sharding.Mesh
+    sample_mesh: Optional[object] = None          # shard posterior draws
     checkpoint_dir: Optional[str] = None          # persist clique models
 
     def json_str(self) -> str:
         d = {k: v for k, v in self.__dict__.items()
-             if k != "data_parallel_mesh"}
+             if k not in ("data_parallel_mesh", "sample_mesh")}
         return json.dumps(d)
 
     def train_config(self) -> TrainConfig:
@@ -63,11 +64,16 @@ class NFiSAMArgs(SolverArgs):
 
 class FlowModelAdapter(ConditionalSampler):
     """Wraps a CliqueFlowModel with the solver-facing conditional-sampler
-    protocol (reference ``NormalizingFlowModelWithSeparator`` NFiSAM.py:68)."""
+    protocol (reference ``NormalizingFlowModelWithSeparator`` NFiSAM.py:68).
 
-    def __init__(self, model: CliqueFlowModel, key_source):
+    With ``mesh`` set, the sample axis of conditional draws is sharded over
+    the mesh's data axis; XLA keeps the root-to-leaf pass sharded with no
+    resharding between tree levels."""
+
+    def __init__(self, model: CliqueFlowModel, key_source, mesh=None):
         self.model = model
         self._next_key = key_source
+        self._mesh = mesh
 
     def conditional_sample_given_observation(self, conditional_dim,
                                              obs_samples=None,
@@ -75,6 +81,12 @@ class FlowModelAdapter(ConditionalSampler):
         if obs_samples is None and sample_number is None:
             raise ValueError("need obs_samples or sample_number")
         n = sample_number if sample_number is not None else 0
+        if self._mesh is not None and obs_samples is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = self._mesh.axis_names[-1]
+            obs_samples = jax.device_put(
+                jnp.asarray(obs_samples, dtype=jnp.float32),
+                NamedSharding(self._mesh, P(axis, None)))
         return self.model.conditional_sample(self._next_key(), n,
                                              obs_samples=obs_samples)
 
@@ -265,7 +277,8 @@ class NFiSAM(FactorGraphSolver):
         if self._model_store is not None:
             sig, _ = self._clique_signature(clique)
             self._model_store.save(sig, model)
-        return FlowModelAdapter(model, self._next_key)
+        return FlowModelAdapter(model, self._next_key,
+                                mesh=self._args.sample_mesh)
 
     # ----------------------------------------------------------- recycling
     def root_clique_density_model_to_leaf(self, old_clique: CliqueNode,

@@ -23,7 +23,12 @@ from .solver import FactorGraphSolver
 def run_incrementally(case_dir: str, solver: FactorGraphSolver,
                       nodes_factors_by_step, truth: Optional[Dict] = None,
                       plot_args: Optional[dict] = None,
-                      verbose: bool = True) -> str:
+                      verbose: bool = True,
+                      profile_steps: Optional[List[int]] = None) -> str:
+    """``profile_steps``: step indices to capture ``jax.profiler`` device
+    traces for (written to ``<run_dir>/trace_step{i}``) — the structured
+    replacement for the reference's print-timestamp breadcrumbs
+    (SURVEY §5)."""
     run_count = 1
     while os.path.exists(f"{case_dir}/run{run_count}"):
         run_count += 1
@@ -53,11 +58,18 @@ def run_incrementally(case_dir: str, solver: FactorGraphSolver,
         prefix = f"{run_dir}/step{i}"
         detailed_timer: List[float] = []
         clique_dim_timer: List[List[float]] = []
+        tracing = profile_steps is not None and i in profile_steps
+        if tracing:
+            import jax
+            jax.profiler.start_trace(f"{run_dir}/trace_step{i}")
         start = time.time()
         solver.update_physical_and_working_graphs(timer=detailed_timer)
         cur_sample = solver.incremental_inference(
             timer=detailed_timer, clique_dim_timer=clique_dim_timer)
         step_timer.append(time.time() - start)
+        if tracing:
+            import jax
+            jax.profiler.stop_trace()
         if verbose:
             print(f"step {i}/{num_batches} time: {step_timer[-1]:.3f} s, "
                   f"total: {sum(step_timer):.3f} s")
