@@ -4,3 +4,6 @@ from .variables import (Variable, VariableType, R1Variable, R2Variable,
                         file2vars)
 from .distributions import (GaussianDistribution, GaussianRangeDistribution,
                             GaussianMixtureDistribution)
+from .likelihoods import (LogLikelihood, GaussianRangeLogLikelihood,
+                          GaussianMixtureLogLikelihood,
+                          GaussianDisplacementDistribution)

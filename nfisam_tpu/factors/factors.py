@@ -981,14 +981,6 @@ class SE2BearingLikelihoodFactor(LikelihoodFactor, BinaryFactor):
 # ==========================================================================
 # Range factors
 # ==========================================================================
-def _ring_shift(key, obs, sigma, n):
-    """Sample planar offsets at Gaussian range x uniform angle."""
-    kr, ka = jax.random.split(key)
-    dist = obs + sigma * jax.random.normal(kr, (n, 1))
-    ang = jax.random.uniform(ka, (n, 1), minval=-jnp.pi, maxval=jnp.pi)
-    return jnp.concatenate([dist * jnp.cos(ang), dist * jnp.sin(ang)], -1)
-
-
 class _RangeFactorBase(LikelihoodFactor, BinaryFactor):
     """Shared machinery for all Gaussian range factors.
 
@@ -1029,14 +1021,6 @@ class _RangeFactorBase(LikelihoodFactor, BinaryFactor):
     def _t2(self, x):
         d1 = self.var1.dim
         return x[:, d1:d1 + 2]
-
-    def _heading_pad(self, key, xy, target_var):
-        """Append a uniform heading column when the target is SE(2)."""
-        if target_var.dim == 2:
-            return xy
-        heading = jax.random.uniform(key, (xy.shape[0], 1), minval=-jnp.pi,
-                                     maxval=jnp.pi)
-        return jnp.concatenate([xy, heading], -1)
 
     def sample(self, key, var1=None, var2=None):
         if var1 is None and var2 is None:
