@@ -60,7 +60,7 @@ def normalize(samples: jax.Array, mean: jax.Array, std: jax.Array,
     d = samples.shape[-1]
     m = mean[init_dim:init_dim + d]
     s = std[init_dim:init_dim + d]
-    circ = jnp.asarray(np.asarray(circ_mask)[init_dim:init_dim + d])
+    circ = jnp.asarray(circ_mask)[init_dim:init_dim + d]
     resid = jnp.where(circ, wrap_angle(samples - m), samples - m)
     return resid / s
 
@@ -70,7 +70,7 @@ def unnormalize(z: jax.Array, mean: jax.Array, std: jax.Array, circ_mask,
     d = z.shape[-1]
     m = mean[init_dim:init_dim + d]
     s = std[init_dim:init_dim + d]
-    circ = jnp.asarray(np.asarray(circ_mask)[init_dim:init_dim + d])
+    circ = jnp.asarray(circ_mask)[init_dim:init_dim + d]
     x = z * s + m
     return jnp.where(circ, wrap_angle(x), x)
 
@@ -99,13 +99,12 @@ from functools import lru_cache  # noqa: E402
 
 
 @lru_cache(maxsize=2048)
-def _conditional_sample_program(cfg: NSFConfig, circ: tuple, sep_dim: int):
+def _conditional_sample_program(cfg: NSFConfig, sep_dim: int):
     base = BaseDistribution(cfg.circular_mask)
-    circ_mask = np.asarray(circ, dtype=bool)
     frontal_dim = cfg.dim - sep_dim
 
     @jax.jit
-    def run(flow_params, mean, std, key, obs_samples):
+    def run(flow_params, mean, std, circ_mask, key, obs_samples):
         n = obs_samples.shape[0]
         if sep_dim > 0:
             x_prefix = normalize(obs_samples, mean, std, circ_mask, 0)
@@ -120,16 +119,15 @@ def _conditional_sample_program(cfg: NSFConfig, circ: tuple, sep_dim: int):
 
 
 @lru_cache(maxsize=2048)
-def _separator_forward_program(cfg: NSFConfig, circ: tuple, d_sep: int):
+def _separator_forward_program(cfg: NSFConfig, d_sep: int):
     sub_cfg = NSFConfig(
         dim=d_sep, num_knots=cfg.num_knots, tail_bound=cfg.tail_bound,
         hidden_dim=cfg.hidden_dim, num_flows=cfg.num_flows,
         circular=tuple(bool(c) for c in cfg.circular_mask[:d_sep]))
     base = BaseDistribution(cfg.circular_mask[:d_sep])
-    circ_mask = np.asarray(circ, dtype=bool)
 
     @jax.jit
-    def run(flow_params, mean, std, x_sep):
+    def run(flow_params, mean, std, circ_mask, x_sep):
         x = normalize(x_sep, mean, std, circ_mask, init_dim=0)
         total_ld = jnp.zeros(x.shape[0])
         for params in flow_params:
@@ -143,12 +141,11 @@ def _separator_forward_program(cfg: NSFConfig, circ: tuple, d_sep: int):
 
 
 @lru_cache(maxsize=2048)
-def _log_prob_program(cfg: NSFConfig, circ: tuple):
+def _log_prob_program(cfg: NSFConfig):
     base = BaseDistribution(cfg.circular_mask)
-    circ_mask = np.asarray(circ, dtype=bool)
 
     @jax.jit
-    def run(flow_params, mean, std, x):
+    def run(flow_params, mean, std, circ_mask, x):
         xn = normalize(x, mean, std, circ_mask, init_dim=0)
         _, prior_lp, log_det = model_forward(flow_params, xn, cfg, base)
         return prior_lp + log_det - jnp.sum(jnp.log(std))
@@ -169,6 +166,9 @@ class CliqueFlowModel:
     std: jax.Array             # (dim,)
     circular_dim_list: List[bool]
     aug_sep_dim: int
+    # trailing dummy columns added to bucket clique dims into few compiled
+    # signatures (AR structure keeps real dims unaffected)
+    pad_dims: int = 0
 
     @property
     def dim(self) -> int:
@@ -189,26 +189,30 @@ class CliqueFlowModel:
         """Re-view the same density with a different separator/frontal split
         (reference ``root_clique_density_model_to_leaf`` NFiSAM.py:550)."""
         return CliqueFlowModel(self.cfg, self.flow_params, self.mean,
-                               self.std, self.circular_dim_list, aug_sep_dim)
+                               self.std, self.circular_dim_list, aug_sep_dim,
+                               self.pad_dims)
 
     @property
-    def _circ_tuple(self):
-        return tuple(bool(c) for c in self.circular_dim_list)
+    def _mask(self):
+        mask = list(self.circular_dim_list) + [False] * (
+            self.cfg.dim - len(self.circular_dim_list))
+        return jnp.asarray(np.asarray(mask, dtype=bool))
 
     def conditional_sample(self, key: jax.Array, num_samples: int,
                            obs_samples=None) -> jax.Array:
         """Sample frontal dims conditioned on [obs | separator] samples
         (reference ``conditional_sample_given_observation`` NFiSAM.py:120).
-        One compiled-program launch per call."""
+        One compiled-program launch per call; trailing pad columns are
+        returned (callers slice to the width they need)."""
         if obs_samples is None:
             sep_dim = 0
             obs_samples = jnp.zeros((num_samples, 0), dtype=jnp.float32)
         else:
             obs_samples = jnp.asarray(obs_samples, dtype=jnp.float32)
             sep_dim = obs_samples.shape[1]
-        run = _conditional_sample_program(self.cfg, self._circ_tuple,
-                                          sep_dim)
-        return run(self.flow_params, self.mean, self.std, key, obs_samples)
+        run = _conditional_sample_program(self.cfg, sep_dim)
+        return run(self.flow_params, self.mean, self.std, self._mask, key,
+                   obs_samples)
 
     def separator_forward(self, x_sep: jax.Array):
         """Push separator samples through the flow prefix; returns
@@ -216,15 +220,20 @@ class CliqueFlowModel:
         marginal density used by ``FlowsPriorFactor.log_pdf``
         (reference NFiSAM.py:157-173, 233-251)."""
         x_sep = jnp.asarray(x_sep, dtype=jnp.float32)
-        run = _separator_forward_program(self.cfg, self._circ_tuple,
-                                         x_sep.shape[-1])
-        return run(self.flow_params, self.mean, self.std, x_sep)
+        run = _separator_forward_program(self.cfg, x_sep.shape[-1])
+        return run(self.flow_params, self.mean, self.std, self._mask,
+                   x_sep)
 
     def log_prob(self, x: jax.Array) -> jax.Array:
-        """Full joint log density of unnormalized samples (n, dim)."""
-        run = _log_prob_program(self.cfg, self._circ_tuple)
-        return run(self.flow_params, self.mean, self.std,
-                   jnp.asarray(x, dtype=jnp.float32))
+        """Full joint log density of unnormalized samples (n, dim)
+        (pad columns included; constant offset for fixed pads)."""
+        run = _log_prob_program(self.cfg)
+        x = jnp.asarray(x, dtype=jnp.float32)
+        if x.shape[-1] < self.cfg.dim:
+            x = jnp.concatenate(
+                [x, jnp.zeros((x.shape[0], self.cfg.dim - x.shape[-1]),
+                              dtype=jnp.float32)], axis=-1)
+        return run(self.flow_params, self.mean, self.std, self._mask, x)
 
     def sample(self, key: jax.Array, num_samples: int) -> jax.Array:
         return self.conditional_sample(key, num_samples)

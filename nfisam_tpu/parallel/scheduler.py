@@ -85,56 +85,70 @@ class ParallelNFiSAM(NFiSAM):
                     self._clique_samples[clique] = np.asarray(samples)
                 sims.append((clique, samples, var_ordering))
 
-            # ---- bucket by (dim, circular mask, n) and batch-train ------
+            # ---- bucket by padded dim (masks are traced inputs) ---------
             buckets: Dict[Tuple, List] = {}
             for clique, samples, var_ordering in sims:
                 circ = []
                 for v in var_ordering:
                     circ += v.circular_dim_list
-                key = (samples.shape[-1], tuple(circ), samples.shape[0])
+                samples, pad = self._pad_samples(samples, circ)
+                key = (samples.shape[-1], samples.shape[0])
+                if self._args.flow_type == "NSF_AR_CS":
+                    # the circular-spline routing is static per config, so
+                    # CS buckets must share the circular pattern
+                    key = key + (tuple(circ) + (False,) * pad,)
                 buckets.setdefault(key, []).append(
-                    (clique, samples, var_ordering, circ))
+                    (clique, samples, var_ordering, circ, pad))
 
-            for (aug_dim, circ, n), items in buckets.items():
+            for bkey, items in buckets.items():
+                aug_dim, n = bkey[0], bkey[1]
                 t0 = time.time()
-                cfg = self._flow_config(aug_dim, list(circ))
+                cfg = self._flow_config(
+                    aug_dim, list(items[0][3]) + [False] * items[0][4])
                 tc = self._args.train_config()
                 scale_circ = self._args.flow_type == "NSF_AR"
                 if len(items) == 1:
-                    clique, samples, var_ordering, circ_l = items[0]
+                    clique, samples, var_ordering, circ_l, pad = items[0]
                     from ..train.trainer import fit_flow_raw
                     params, iter_loss, n_iters, mean, std = fit_flow_raw(
-                        self._next_key(), samples, cfg, tc, circ_l,
+                        self._next_key(), samples, cfg,
+                        tc, circ_l + [False] * pad,
                         scale_circular=scale_circ,
                         mesh=self._args.data_parallel_mesh)
-                    stacked = [(clique, var_ordering, params, iter_loss,
-                                n_iters, mean, std)]
+                    stacked = [(clique, var_ordering, pad, params,
+                                iter_loss, n_iters, mean, std)]
                 else:
                     keys = np.stack([self._next_key() for _ in items])
                     samples_stack = np.stack(
-                        [np.asarray(s) for (_, s, _, _) in items])
+                        [np.asarray(s) for (_, s, _, _, _) in items])
+                    masks = np.stack(
+                        [np.asarray(c + [False] * pd, dtype=bool)
+                         for (_, _, _, c, pd) in items])
                     p_s, il_s, t_s, m_s, s_s = fit_flows_batched(
-                        keys, samples_stack, cfg, tc, list(circ),
+                        keys, samples_stack, cfg, tc, masks,
                         scale_circular=scale_circ)
                     stacked = []
-                    for b, (clique, _, var_ordering, _) in enumerate(items):
+                    for b, (clique, _, var_ordering, _, pad) in \
+                            enumerate(items):
                         import jax
                         params = jax.tree_util.tree_map(
                             lambda x: x[b], p_s)
-                        stacked.append((clique, var_ordering, params,
+                        stacked.append((clique, var_ordering, pad, params,
                                         il_s[b], t_s[b], m_s[b], s_s[b]))
                 if timer is not None:
                     timer.append(time.time() - t0)
 
-                for (clique, var_ordering, params, iter_loss, n_iters,
+                for (clique, var_ordering, pad, params, iter_loss, n_iters,
                      mean, std) in stacked:
                     circ_l = []
                     for v in var_ordering:
                         circ_l += v.circular_dim_list
-                    aug_sep_dim = aug_dim - clique.frontal_dim
+                    aug_sep_dim = aug_dim - pad - clique.frontal_dim
                     model = CliqueFlowModel(cfg, params, mean, std, circ_l,
-                                            aug_sep_dim)
-                    adapter = FlowModelAdapter(model, self._next_key)
+                                            aug_sep_dim, pad_dims=pad)
+                    adapter = FlowModelAdapter(
+                        model, self._next_key,
+                        mesh=self._args.sample_mesh)
                     clique_name = "".join(str(v.name)
                                           for v in clique.vars)
                     n_it = int(n_iters)

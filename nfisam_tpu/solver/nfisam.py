@@ -45,6 +45,9 @@ class NFiSAMArgs(SolverArgs):
     data_parallel_mesh: Optional[object] = None   # jax.sharding.Mesh
     sample_mesh: Optional[object] = None          # shard posterior draws
     checkpoint_dir: Optional[str] = None          # persist clique models
+    # pad clique dims up to a multiple of this so large graphs hit only a
+    # handful of compiled signatures (0/1 disables; SURVEY §7.3 item 3)
+    pad_dim_multiple: int = 4
 
     def json_str(self) -> str:
         d = {k: v for k, v in self.__dict__.items()
@@ -87,8 +90,9 @@ class FlowModelAdapter(ConditionalSampler):
             obs_samples = jax.device_put(
                 jnp.asarray(obs_samples, dtype=jnp.float32),
                 NamedSharding(self._mesh, P(axis, None)))
-        return self.model.conditional_sample(self._next_key(), n,
-                                             obs_samples=obs_samples)
+        out = self.model.conditional_sample(self._next_key(), n,
+                                            obs_samples=obs_samples)
+        return out[:, :conditional_dim] if conditional_dim else out
 
 
 class FlowsPriorFactor(CliqueSeparatorFactor):
@@ -176,11 +180,18 @@ class FlowsPriorFactor(CliqueSeparatorFactor):
             obs = jnp.broadcast_to(
                 jnp.asarray(self._true_obs, dtype=jnp.float32),
                 (z.shape[0], self._obs_dim))
-            x_prefix = normalize(obs, m.mean, m.std, m.circular_dim_list, 0)
+            x_prefix = normalize(obs, m.mean, m.std, m._mask, 0)
             sep = self._obs_dim
+        # the flow may be wider than this factor (frontal + pad columns);
+        # drive the extra dims with zeros and slice the result
+        need = m.cfg.dim - sep
+        if z.shape[1] < need:
+            z = jnp.concatenate(
+                [z, jnp.zeros((z.shape[0], need - z.shape[1]),
+                              dtype=jnp.float32)], axis=1)
         x_full = stack_inverse(m.flow_params, z, m.cfg, x_prefix, sep)
-        out = unnormalize(x_full[:, sep:], m.mean, m.std,
-                          m.circular_dim_list, init_dim=sep)
+        out = unnormalize(x_full[:, sep:], m.mean, m.std, m._mask,
+                          init_dim=sep)[:, :self.dim]
         return out[0] if squeeze else out
 
     def __str__(self) -> str:
@@ -239,24 +250,41 @@ class NFiSAM(FactorGraphSolver):
                          hidden_dim=self._args.hidden_dim,
                          num_flows=self._args.flow_number, circular=circ)
 
+    def _pad_samples(self, samples, circular_dim_list):
+        """Pad trailing dummy N(0,1) columns so the flow dim lands on a
+        bucket boundary; the AR structure keeps real dims unaffected."""
+        mult = max(int(self._args.pad_dim_multiple or 1), 1)
+        aug_dim = samples.shape[-1]
+        padded = -(-aug_dim // mult) * mult
+        pad = padded - aug_dim
+        if pad:
+            key = self._next_key()
+            rng = np.random.default_rng(int(key[1]))
+            cols = rng.normal(size=(samples.shape[0], pad)).astype(
+                np.float32)
+            samples = jnp.concatenate([samples, jnp.asarray(cols)], axis=1)
+        return samples, pad
+
     def fit_clique_density_model(self, clique: CliqueNode, samples,
                                  var_ordering: List[Variable],
                                  timer: Optional[List[float]]
                                  ) -> FlowModelAdapter:
         samples = jnp.asarray(samples, dtype=jnp.float32)
-        aug_dim = samples.shape[-1]
         frontal_dim = clique.frontal_dim
-        aug_sep_dim = aug_dim - frontal_dim
+        aug_sep_dim = samples.shape[-1] - frontal_dim
 
         circular_dim_list: List[bool] = []
         for v in var_ordering:
             circular_dim_list += v.circular_dim_list
-        cfg = self._flow_config(aug_dim, circular_dim_list)
+        samples, pad = self._pad_samples(samples, circular_dim_list)
+        aug_dim = samples.shape[-1]
+        padded_circ = circular_dim_list + [False] * pad
+        cfg = self._flow_config(aug_dim, padded_circ)
 
         t0 = time.time()
         params, iter_loss, n_iters, mean, std = fit_flow_raw(
             self._next_key(), samples, cfg, self._args.train_config(),
-            circular_dim_list,
+            padded_circ,
             scale_circular=(self._args.flow_type == "NSF_AR"),
             mesh=self._args.data_parallel_mesh)
         n_iters = int(n_iters)
@@ -273,7 +301,7 @@ class NFiSAM(FactorGraphSolver):
             np.savetxt(fname, np.asarray(iter_loss)[:n_iters])
 
         model = CliqueFlowModel(cfg, params, mean, std, circular_dim_list,
-                                aug_sep_dim)
+                                aug_sep_dim, pad_dims=pad)
         if self._model_store is not None:
             sig, _ = self._clique_signature(clique)
             self._model_store.save(sig, model)
@@ -285,7 +313,7 @@ class NFiSAM(FactorGraphSolver):
                                           new_clique: CliqueNode
                                           ) -> FlowModelAdapter:
         old = self._clique_density_model[old_clique]
-        obs_dim = old.model.dim - old_clique.dim
+        obs_dim = old.model.dim - old_clique.dim - old.model.pad_dims
         sep_dim = new_clique.separator_dim + obs_dim
         return FlowModelAdapter(old.model.with_separator_dim(sep_dim),
                                 self._next_key)

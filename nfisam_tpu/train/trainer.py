@@ -143,19 +143,22 @@ def _cached_program(cfg: NSFConfig, tc: TrainConfig, has_validation: bool):
     return jax.jit(_build_train_program(cfg, tc, has_validation))
 
 
-def _full_fit_core(cfg: NSFConfig, tc: TrainConfig, circ: tuple,
+def _full_fit_core(cfg: NSFConfig, tc: TrainConfig,
                    scale_circular: bool, n: int):
     """Pure fit function: param init + shuffle + normalization +
     train/validation split + the whole Adam loop, as one traceable call.
-    (key, samples_raw) -> (params, iter_loss, n_iters, mean, std)."""
+    (key, samples_raw, circ_mask) -> (params, iter_loss, n_iters, mean,
+    std).  The circular mask is a *traced input* so circular-pattern
+    diversity across cliques never forces a recompile — together with
+    dim-bucket padding this is what keeps the compiled-program count tiny
+    on large graphs (SURVEY §7.3 item 3)."""
     from ..flows.model import compute_normalizer, normalize
 
     n_train = min(int(n * tc.training_set_frac), n)
     has_validation = n_train < n
     train = _build_train_program(cfg, tc, has_validation)
-    circ_mask = np.asarray(circ, dtype=bool)
 
-    def run(key, samples_raw):
+    def run(key, samples_raw, circ_mask):
         k_init, k_shuffle = jax.random.split(jnp.asarray(key))
         params = init_flow_params(k_init, cfg)
         perm = jax.random.permutation(k_shuffle, samples_raw.shape[0])
@@ -174,35 +177,36 @@ def _full_fit_core(cfg: NSFConfig, tc: TrainConfig, circ: tuple,
 
 @lru_cache(maxsize=512)
 def _cached_full_program(cfg: NSFConfig, tc: TrainConfig,
-                         circ: tuple, scale_circular: bool, n: int):
+                         scale_circular: bool, n: int):
     """One device dispatch per clique fit — tunnel-latency critical."""
-    return jax.jit(_full_fit_core(cfg, tc, circ, scale_circular, n))
+    return jax.jit(_full_fit_core(cfg, tc, scale_circular, n))
 
 
 @lru_cache(maxsize=512)
-def _cached_batched_program(cfg: NSFConfig, tc: TrainConfig, circ: tuple,
+def _cached_batched_program(cfg: NSFConfig, tc: TrainConfig,
                             scale_circular: bool, n: int, batch: int):
     """vmap of the full fit over a stack of same-signature cliques: one
     while_loop trains all of them, wall time = the slowest member — the
     tree-level parallelism the reference leaves unexploited
     (``FactorGraphSolver.py:423-477``; SURVEY §2.3)."""
-    core = _full_fit_core(cfg, tc, circ, scale_circular, n)
+    core = _full_fit_core(cfg, tc, scale_circular, n)
     return jax.jit(jax.vmap(core))
 
 
 def fit_flows_batched(keys, samples_stack, cfg: NSFConfig, tc: TrainConfig,
-                      circular_dim_list, scale_circular: bool = True):
-    """Train ``B`` same-signature clique flows concurrently.
+                      circ_masks, scale_circular: bool = True):
+    """Train ``B`` same-dim clique flows concurrently.
 
-    ``keys`` (B, 2) raw key data; ``samples_stack`` (B, n, dim).
+    ``keys`` (B, 2) raw key data; ``samples_stack`` (B, n, dim);
+    ``circ_masks`` (B, dim) booleans.
     Returns stacked (params, iter_loss, n_iters, mean, std).
     """
     samples_stack = jnp.asarray(samples_stack, dtype=jnp.float32)
     B, n = samples_stack.shape[0], samples_stack.shape[1]
-    circ = tuple(bool(c) for c in circular_dim_list)
-    program = _cached_batched_program(cfg, tc, circ, scale_circular,
+    program = _cached_batched_program(cfg, tc, scale_circular,
                                       int(n), int(B))
-    return program(jnp.asarray(keys), samples_stack)
+    return program(jnp.asarray(keys), samples_stack,
+                   jnp.asarray(np.asarray(circ_masks, dtype=bool)))
 
 
 def fit_flow_raw(key, samples_raw, cfg: NSFConfig, tc: TrainConfig,
@@ -211,14 +215,14 @@ def fit_flow_raw(key, samples_raw, cfg: NSFConfig, tc: TrainConfig,
     """Fit a clique flow from raw (unnormalized) samples in ONE compiled
     call.  Returns (params, iter_loss, n_iters, mean, std)."""
     samples_raw = jnp.asarray(samples_raw, dtype=jnp.float32)
-    circ = tuple(bool(c) for c in circular_dim_list)
-    program = _cached_full_program(cfg, tc, circ, scale_circular,
+    circ_mask = np.asarray([bool(c) for c in circular_dim_list], dtype=bool)
+    program = _cached_full_program(cfg, tc, scale_circular,
                                    int(samples_raw.shape[0]))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         samples_raw = jax.device_put(
             samples_raw, NamedSharding(mesh, P(None, None)))
-    return program(key, samples_raw)
+    return program(key, samples_raw, jnp.asarray(circ_mask))
 
 
 def fit_flow(key: jax.Array, samples_norm: jax.Array, cfg: NSFConfig,
