@@ -94,6 +94,7 @@ class CliqueModelStore:
             "circular_dim_list": [bool(c)
                                   for c in model.circular_dim_list],
             "aug_sep_dim": model.aug_sep_dim,
+            "pad_dims": model.pad_dims,
         }
         self._flush_manifest()
 
@@ -120,7 +121,8 @@ class CliqueModelStore:
             mean=jax.numpy.asarray(data["mean"]),
             std=jax.numpy.asarray(data["std"]),
             circular_dim_list=list(meta["circular_dim_list"]),
-            aug_sep_dim=int(meta["aug_sep_dim"]))
+            aug_sep_dim=int(meta["aug_sep_dim"]),
+            pad_dims=int(meta.get("pad_dims", 0)))
 
     def __contains__(self, signature: str) -> bool:
         return signature in self.manifest

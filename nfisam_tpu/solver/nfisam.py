@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.variables import Variable
-from ..flows.model import (CliqueFlowModel, compute_normalizer, normalize)
+from ..flows.model import CliqueFlowModel, normalize
 from ..flows.nsf import NSFConfig
 from ..graph.bayes_tree import CliqueNode
 from ..train.trainer import TrainConfig, fit_flow_raw

@@ -361,22 +361,26 @@ class FactorGraphSolver:
             model = self._clique_density_model[clique]
             obs = self._clique_true_obs[clique]
 
+            # stay on device for the whole root->leaf pass: per-clique host
+            # conversions would force a sync per clique (Plaza-scale trees
+            # have hundreds)
+            import jax.numpy as jnp
             blocks = []
             if len(obs) != 0:
-                blocks.append(np.tile(obs, (num_samples, 1)))
+                blocks.append(jnp.broadcast_to(
+                    jnp.asarray(obs, dtype=jnp.float32),
+                    (num_samples, len(obs))))
             for v in separator_list:
-                blocks.append(samples[v])
-            aug = np.hstack(blocks) if blocks else \
-                np.zeros((num_samples, 0))
+                blocks.append(jnp.asarray(samples[v], dtype=jnp.float32))
+            aug = jnp.concatenate(blocks, axis=1) if blocks else None
 
-            if aug.shape[1] != 0:
+            if aug is not None and aug.shape[1] != 0:
                 frontal = model.conditional_sample_given_observation(
                     conditional_dim=clique.frontal_dim, obs_samples=aug)
             else:
                 frontal = model.conditional_sample_given_observation(
                     conditional_dim=clique.frontal_dim,
                     sample_number=num_samples)
-            frontal = np.asarray(frontal)
             cur = 0
             for v in frontal_list:
                 samples[v] = frontal[:, cur:cur + v.dim]
