@@ -115,3 +115,28 @@ def test_posterior_respects_range_constraint():
     r = np.linalg.norm(lmk - pose[:, :2], axis=1)
     assert abs(r.mean() - 10.0) < 0.5
     assert r.std() < 1.5
+
+
+def test_nested_clique_training_path():
+    """local_sampling_method='nested' routes clique training samples
+    through the nested sampler (reference FactorGraphSolver.py:488-492)."""
+    xs = [R2Variable(f"X{i}") for i in range(2)]
+    cov = np.eye(2) * 0.25
+    args = NFiSAMArgs(posterior_sample_num=200, local_sample_num=300,
+                      flow_iterations=150, num_knots=6, learning_rate=0.03,
+                      elimination_method="natural", seed=7,
+                      local_sampling_method="nested")
+    solver = NFiSAM(args)
+    for x in xs:
+        solver.add_node(x)
+    solver.add_factor(UnaryR2GaussianPriorFactor(xs[0], np.zeros(2),
+                                                 covariance=cov))
+    solver.add_factor(R2RelativeGaussianLikelihoodFactor(
+        xs[0], xs[1], np.array([1.0, 1.0]), covariance=cov))
+    # extra prior closes a loop -> clique joint needs the NS path
+    solver.add_factor(UnaryR2GaussianPriorFactor(
+        xs[1], np.array([1.2, 1.0]), covariance=cov))
+    solver.update_physical_and_working_graphs()
+    samples = solver.incremental_inference()
+    m1 = np.asarray(samples[xs[1]]).mean(0)
+    assert np.linalg.norm(m1 - np.array([1.1, 1.0])) < 0.3
