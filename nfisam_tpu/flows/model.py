@@ -22,7 +22,8 @@ import numpy as np
 
 from ..core.geometry import wrap_angle
 from .base_dist import BaseDistribution
-from .nsf import NSFConfig, flow_forward, stack_forward, stack_inverse
+from .nsf import (NSFConfig, flow_forward, stack_forward, stack_inverse,
+                  stack_forward_perdim, stack_inverse_masked)
 
 
 # --------------------------------------------------------------------------
@@ -98,44 +99,50 @@ def negative_log_likelihood(flow_params: List[dict], x_norm: jax.Array,
 from functools import lru_cache  # noqa: E402
 
 
-@lru_cache(maxsize=2048)
-def _conditional_sample_program(cfg: NSFConfig, sep_dim: int):
+@lru_cache(maxsize=64)
+def _conditional_sample_program(cfg: NSFConfig):
+    """Width-agnostic conditional sampler: the separator split arrives as
+    data (zero-padded prefix + invert mask), so ONE compiled program per
+    flow config serves every clique (per-``sep_dim`` variants of the
+    unrolled inverse were the dominant compile cost at Plaza scale)."""
     base = BaseDistribution(cfg.circular_mask)
-    frontal_dim = cfg.dim - sep_dim
 
     @jax.jit
-    def run(flow_params, mean, std, circ_mask, key, obs_samples):
-        n = obs_samples.shape[0]
-        if sep_dim > 0:
-            x_prefix = normalize(obs_samples, mean, std, circ_mask, 0)
-        else:
-            x_prefix = None
-        z = base.sample(key, n)[:, sep_dim:sep_dim + frontal_dim]
-        x_full = stack_inverse(flow_params, z, cfg, x_prefix, sep_dim)
-        return unnormalize(x_full[:, sep_dim:], mean, std, circ_mask,
-                           init_dim=sep_dim)
+    def run(flow_params, mean, std, circ_mask, key, obs_full,
+            invert_mask):
+        n = obs_full.shape[0]
+        x_prefix = normalize(obs_full, mean, std, circ_mask, 0)
+        x_prefix = jnp.where(invert_mask[None, :], 0.0, x_prefix)
+        z_full = base.sample(key, n)
+        x_full = stack_inverse_masked(flow_params, z_full, x_prefix,
+                                      invert_mask, cfg)
+        x_out = unnormalize(x_full, mean, std, circ_mask, init_dim=0)
+        return x_out
 
     return run
 
 
-@lru_cache(maxsize=2048)
-def _separator_forward_program(cfg: NSFConfig, d_sep: int):
-    sub_cfg = NSFConfig(
-        dim=d_sep, num_knots=cfg.num_knots, tail_bound=cfg.tail_bound,
-        hidden_dim=cfg.hidden_dim, num_flows=cfg.num_flows,
-        circular=tuple(bool(c) for c in cfg.circular_mask[:d_sep]))
-    base = BaseDistribution(cfg.circular_mask[:d_sep])
+@lru_cache(maxsize=64)
+def _separator_forward_program(cfg: NSFConfig):
+    """Width-agnostic separator marginal: run the FULL forward (the AR
+    prefix property makes the first d columns self-contained) and sum the
+    per-dim base log-probs and log-dets under a width mask — one compiled
+    program per flow config."""
+    from .base_dist import _LOG_TWO_PI, von_mises_log_prob
+
+    circ_static = jnp.asarray(cfg.circular_mask)
 
     @jax.jit
-    def run(flow_params, mean, std, circ_mask, x_sep):
-        x = normalize(x_sep, mean, std, circ_mask, init_dim=0)
-        total_ld = jnp.zeros(x.shape[0])
-        for params in flow_params:
-            sub_params = {k: v[:d_sep] for k, v in params.items()}
-            sub_params["W1"] = sub_params["W1"][:, :, :d_sep]
-            x, ld = flow_forward(sub_params, x, sub_cfg)
-            total_ld = total_ld + ld
-        return x, base.log_prob(x), total_ld
+    def run(flow_params, mean, std, circ_mask, x_sep_full, width_mask):
+        x = normalize(x_sep_full, mean, std, circ_mask, init_dim=0)
+        z, ld_perdim = stack_forward_perdim(flow_params, x, cfg)
+        normal_lp = -0.5 * (z * z + _LOG_TWO_PI)
+        base_lp = jnp.where(circ_static, von_mises_log_prob(z), normal_lp)
+        prior_lp = jnp.sum(jnp.where(width_mask[None, :], base_lp, 0.0),
+                           axis=-1)
+        log_det = jnp.sum(jnp.where(width_mask[None, :], ld_perdim, 0.0),
+                          axis=-1)
+        return z, prior_lp, log_det
 
     return run
 
@@ -206,13 +213,21 @@ class CliqueFlowModel:
         returned (callers slice to the width they need)."""
         if obs_samples is None:
             sep_dim = 0
-            obs_samples = jnp.zeros((num_samples, 0), dtype=jnp.float32)
+            n = num_samples
+            obs_full = jnp.zeros((n, self.cfg.dim), dtype=jnp.float32)
         else:
             obs_samples = jnp.asarray(obs_samples, dtype=jnp.float32)
             sep_dim = obs_samples.shape[1]
-        run = _conditional_sample_program(self.cfg, sep_dim)
-        return run(self.flow_params, self.mean, self.std, self._mask, key,
-                   obs_samples)
+            n = obs_samples.shape[0]
+            obs_full = jnp.concatenate(
+                [obs_samples,
+                 jnp.zeros((n, self.cfg.dim - sep_dim),
+                           dtype=jnp.float32)], axis=1)
+        invert_mask = jnp.asarray(np.arange(self.cfg.dim) >= sep_dim)
+        run = _conditional_sample_program(self.cfg)
+        x_out = run(self.flow_params, self.mean, self.std, self._mask, key,
+                    obs_full, invert_mask)
+        return x_out[:, sep_dim:]
 
     def separator_forward(self, x_sep: jax.Array):
         """Push separator samples through the flow prefix; returns
@@ -220,9 +235,16 @@ class CliqueFlowModel:
         marginal density used by ``FlowsPriorFactor.log_pdf``
         (reference NFiSAM.py:157-173, 233-251)."""
         x_sep = jnp.asarray(x_sep, dtype=jnp.float32)
-        run = _separator_forward_program(self.cfg, x_sep.shape[-1])
-        return run(self.flow_params, self.mean, self.std, self._mask,
-                   x_sep)
+        d_sep = x_sep.shape[-1]
+        n = x_sep.shape[0]
+        x_full = jnp.concatenate(
+            [x_sep, jnp.zeros((n, self.cfg.dim - d_sep),
+                              dtype=jnp.float32)], axis=1)
+        width_mask = jnp.asarray(np.arange(self.cfg.dim) < d_sep)
+        run = _separator_forward_program(self.cfg)
+        z, prior_lp, log_det = run(self.flow_params, self.mean, self.std,
+                                   self._mask, x_full, width_mask)
+        return z[:, :d_sep], prior_lp, log_det
 
     def log_prob(self, x: jax.Array) -> jax.Array:
         """Full joint log density of unnormalized samples (n, dim)

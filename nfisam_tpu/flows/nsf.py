@@ -185,6 +185,35 @@ def flow_inverse(params: dict, z: jax.Array, cfg: NSFConfig,
     return jnp.stack(cols, axis=1)
 
 
+def flow_inverse_masked(params: dict, z_full: jax.Array,
+                        x_prefix_full: jax.Array, invert_mask: jax.Array,
+                        cfg: NSFConfig) -> jax.Array:
+    """Inverse where the separator/frontal split is *data*, not structure.
+
+    ``z_full`` (n, dim) carries latent draws at the columns to invert;
+    ``x_prefix_full`` (n, dim) carries known values at prefix columns;
+    ``invert_mask`` (dim,) booleans select which. One compiled program
+    serves every separator width of a flow config (the per-``sep_dim``
+    unrolled-inverse variants were the dominant compile cost on large
+    graphs). Prefix columns pay a discarded spline inversion — cheap
+    relative to a recompile."""
+    n = z_full.shape[0]
+    cols = []
+    for i in range(cfg.dim):
+        if cols:
+            x_partial = jnp.stack(cols, axis=1)
+            x_full = jnp.concatenate(
+                [x_partial, jnp.zeros((n, cfg.dim - len(cols)))], axis=1)
+        else:
+            x_full = jnp.zeros((n, cfg.dim))
+        P_i = _conditioner_one_dim(params, x_full, i, cfg)
+        x_inv, _ = _apply_rqs_one_dim(z_full[:, i], P_i, i, cfg,
+                                      inverse=True)
+        cols.append(jnp.where(invert_mask[i], x_inv,
+                              x_prefix_full[:, i]))
+    return jnp.stack(cols, axis=1)
+
+
 # --------------------------------------------------------------------------
 # Flow stacks
 # --------------------------------------------------------------------------
@@ -195,6 +224,33 @@ def stack_forward(flow_params: List[dict], x: jax.Array, cfg: NSFConfig):
         x, ld = flow_forward(params, x, cfg)
         total_ld = total_ld + ld
     return x, total_ld
+
+
+def stack_forward_perdim(flow_params: List[dict], x: jax.Array,
+                         cfg: NSFConfig):
+    """Compose flows keeping the per-dim log-det columns (n, dim) — used by
+    the width-agnostic separator-marginal program."""
+    total_ld = jnp.zeros_like(x)
+    for params in flow_params:
+        P = conditioner_all_dims(params, x, cfg)
+        W, H, D = _split_spline_params(P, cfg)
+        x, ld = _apply_rqs_mixed(x, W, H, D, cfg, inverse=False)
+        total_ld = total_ld + ld
+    return x, total_ld
+
+
+def stack_inverse_masked(flow_params: List[dict], z_full: jax.Array,
+                         x_prefix_full: jax.Array, invert_mask: jax.Array,
+                         cfg: NSFConfig) -> jax.Array:
+    """Invert the stack (last flow first) with a data-driven prefix mask;
+    returns the full (n, dim) block."""
+    for params in reversed(flow_params):
+        x_full = flow_inverse_masked(params, z_full, x_prefix_full,
+                                     invert_mask, cfg)
+        # the next (earlier) flow inverts what this flow produced at the
+        # inverted columns; prefix columns stay pinned
+        z_full = x_full
+    return x_full
 
 
 def stack_inverse(flow_params: List[dict], z: jax.Array, cfg: NSFConfig,
