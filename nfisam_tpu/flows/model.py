@@ -176,6 +176,11 @@ class CliqueFlowModel:
     # trailing dummy columns added to bucket clique dims into few compiled
     # signatures (AR structure keeps real dims unaffected)
     pad_dims: int = 0
+    # host-side fingerprint of the training inputs (key + config + data
+    # shape); lets downstream checkpoint invalidation run with ZERO
+    # device->host fetches (the tunneled TPU link degrades to ~30 ms per
+    # op after d2h transfers, so per-clique array hashing is unaffordable)
+    content_tag: str = ""
 
     @property
     def dim(self) -> int:
@@ -197,7 +202,7 @@ class CliqueFlowModel:
         (reference ``root_clique_density_model_to_leaf`` NFiSAM.py:550)."""
         return CliqueFlowModel(self.cfg, self.flow_params, self.mean,
                                self.std, self.circular_dim_list, aug_sep_dim,
-                               self.pad_dims)
+                               self.pad_dims, self.content_tag)
 
     @property
     def _mask(self):

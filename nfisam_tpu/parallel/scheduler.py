@@ -110,13 +110,14 @@ class ParallelNFiSAM(NFiSAM):
                 if len(items) == 1:
                     clique, samples, var_ordering, circ_l, pad = items[0]
                     from ..train.trainer import fit_flow_raw
+                    fit_key = self._next_key()
                     params, iter_loss, n_iters, mean, std = fit_flow_raw(
-                        self._next_key(), samples, cfg,
+                        fit_key, samples, cfg,
                         tc, circ_l + [False] * pad,
                         scale_circular=scale_circ,
                         mesh=self._args.data_parallel_mesh)
                     stacked = [(clique, var_ordering, pad, params,
-                                iter_loss, n_iters, mean, std)]
+                                iter_loss, n_iters, mean, std, fit_key)]
                 else:
                     keys = np.stack([self._next_key() for _ in items])
                     samples_stack = np.stack(
@@ -134,26 +135,31 @@ class ParallelNFiSAM(NFiSAM):
                         params = jax.tree_util.tree_map(
                             lambda x: x[b], p_s)
                         stacked.append((clique, var_ordering, pad, params,
-                                        il_s[b], t_s[b], m_s[b], s_s[b]))
+                                        il_s[b], t_s[b], m_s[b], s_s[b],
+                                        keys[b]))
                 if timer is not None:
                     timer.append(time.time() - t0)
 
+                import hashlib
                 for (clique, var_ordering, pad, params, iter_loss, n_iters,
-                     mean, std) in stacked:
+                     mean, std, fit_key) in stacked:
                     circ_l = []
                     for v in var_ordering:
                         circ_l += v.circular_dim_list
                     aug_sep_dim = aug_dim - pad - clique.frontal_dim
+                    tag = hashlib.sha256(
+                        np.asarray(fit_key).tobytes() + repr(cfg).encode() +
+                        str((n, aug_dim)).encode()).hexdigest()[:16]
                     model = CliqueFlowModel(cfg, params, mean, std, circ_l,
-                                            aug_sep_dim, pad_dims=pad)
+                                            aug_sep_dim, pad_dims=pad,
+                                            content_tag=tag)
                     adapter = FlowModelAdapter(
                         model, self._next_key,
                         mesh=self._args.sample_mesh)
                     clique_name = "".join(str(v.name)
                                           for v in clique.vars)
-                    n_it = int(n_iters)
-                    self._temp_training_loss[clique_name] = [
-                        float(l) for l in np.asarray(iter_loss)[:n_it]]
+                    self._temp_training_loss[clique_name] = (iter_loss,
+                                                             n_iters)
                     if self._model_store is not None:
                         sig, _ = self._clique_signature(clique)
                         self._model_store.save(sig, model)

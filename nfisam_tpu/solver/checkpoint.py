@@ -95,6 +95,7 @@ class CliqueModelStore:
                                   for c in model.circular_dim_list],
             "aug_sep_dim": model.aug_sep_dim,
             "pad_dims": model.pad_dims,
+            "content_tag": model.content_tag,
         }
         self._flush_manifest()
 
@@ -122,7 +123,8 @@ class CliqueModelStore:
             std=jax.numpy.asarray(data["std"]),
             circular_dim_list=list(meta["circular_dim_list"]),
             aug_sep_dim=int(meta["aug_sep_dim"]),
-            pad_dims=int(meta.get("pad_dims", 0)))
+            pad_dims=int(meta.get("pad_dims", 0)),
+            content_tag=str(meta.get("content_tag", "")))
 
     def __contains__(self, signature: str) -> bool:
         return signature in self.manifest

@@ -109,14 +109,19 @@ class FlowsPriorFactor(CliqueSeparatorFactor):
         self._circular_dim_list = list(circular_dim_list)
         self._next_key = key_source
         assert self.dim == len(self._circular_dim_list)
-        # cheap content fingerprint of the backing flow (checkpoint
-        # invalidation for downstream cliques)
-        import hashlib
-        hh = hashlib.sha256()
-        hh.update(np.asarray(flow_model.mean).tobytes())
-        hh.update(np.asarray(flow_model.std).tobytes())
-        hh.update(np.asarray(flow_model.flow_params[0]["b3"]).tobytes())
-        self.content_tag = hh.hexdigest()[:16]
+        # content fingerprint of the backing flow (checkpoint invalidation
+        # for downstream cliques).  The host-side tag stamped at training
+        # time is preferred; hashing device arrays forces d2h transfers,
+        # which degrade the tunneled TPU link for every later op.
+        if flow_model.content_tag:
+            self.content_tag = flow_model.content_tag
+        else:
+            import hashlib
+            hh = hashlib.sha256()
+            hh.update(np.asarray(flow_model.mean).tobytes())
+            hh.update(np.asarray(flow_model.std).tobytes())
+            hh.update(np.asarray(flow_model.flow_params[0]["b3"]).tobytes())
+            self.content_tag = hh.hexdigest()[:16]
 
     @property
     def vars(self) -> List[Variable]:
@@ -281,27 +286,33 @@ class NFiSAM(FactorGraphSolver):
         padded_circ = circular_dim_list + [False] * pad
         cfg = self._flow_config(aug_dim, padded_circ)
 
+        key = self._next_key()
         t0 = time.time()
         params, iter_loss, n_iters, mean, std = fit_flow_raw(
-            self._next_key(), samples, cfg, self._args.train_config(),
+            key, samples, cfg, self._args.train_config(),
             padded_circ,
             scale_circular=(self._args.flow_type == "NSF_AR"),
             mesh=self._args.data_parallel_mesh)
-        n_iters = int(n_iters)
         if timer is not None:
             timer.append(time.time() - t0)
 
+        # loss curves stay on device until someone (run harness, user)
+        # asks for them: per-clique d2h fetches here would serialize the
+        # solve on tunnel round trips (see utils/keys.py)
         clique_name = "".join(str(v.name) for v in clique.vars)
-        self._temp_training_loss[clique_name] = [
-            float(l) for l in np.asarray(iter_loss)[:n_iters]]
+        self._temp_training_loss[clique_name] = (iter_loss, n_iters)
         if self._args.training_loss_dir is not None and \
                 os.path.isdir(self._args.training_loss_dir):
             fname = os.path.join(self._args.training_loss_dir,
                                  f"{clique_name}.txt")
-            np.savetxt(fname, np.asarray(iter_loss)[:n_iters])
+            np.savetxt(fname, np.asarray(iter_loss)[:int(n_iters)])
 
+        import hashlib
+        tag = hashlib.sha256(
+            key.tobytes() + repr(cfg).encode() +
+            str(samples.shape).encode()).hexdigest()[:16]
         model = CliqueFlowModel(cfg, params, mean, std, circular_dim_list,
-                                aug_sep_dim, pad_dims=pad)
+                                aug_sep_dim, pad_dims=pad, content_tag=tag)
         if self._model_store is not None:
             sig, _ = self._clique_signature(clique)
             self._model_store.save(sig, model)

@@ -80,7 +80,7 @@ def run_incrementally(case_dir: str, solver: FactorGraphSolver,
         with open(f"{prefix}_split_timing", "w") as f:
             f.write(" ".join(str(t) for t in detailed_timer))
         with open(f"{prefix}_step_training_loss", "w") as f:
-            f.write(json.dumps(solver._temp_training_loss))
+            f.write(json.dumps(solver.training_losses()))
 
         if detailed_timer:
             posterior_sampling_timer.append(detailed_timer[-1])

@@ -392,3 +392,17 @@ class FactorGraphSolver:
 
     def results(self):
         return list(self._samples.values()), list(self._samples.keys())
+
+    def training_losses(self) -> Dict[str, List[float]]:
+        """Materialize the per-clique training-loss curves (device->host).
+        Curves are held as lazy device handles during the solve so the hot
+        path never blocks on tunnel round trips."""
+        out: Dict[str, List[float]] = {}
+        for name, val in self._temp_training_loss.items():
+            if isinstance(val, tuple):
+                iter_loss, n_iters = val
+                out[name] = [float(l)
+                             for l in np.asarray(iter_loss)[:int(n_iters)]]
+            else:
+                out[name] = [float(l) for l in val]
+        return out
