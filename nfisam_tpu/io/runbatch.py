@@ -187,3 +187,38 @@ def _group_multirobot(nodes, factors, incremental_step):
             batches.append((list(new_vars), list(new_factors)))
             new_vars, new_factors = [], []
     return batches
+
+
+def inc_var_factor_to_dead_reckoning(
+        nodes_factors_by_step: List[StepBatch]) -> "np.ndarray":
+    """Dead-reckoned robot path from incremental batches (reference
+    ``incVarFactor2DRp`` RunBatch.py:349-366): chain SE(2) prior and
+    odometry observations without any inference; returns the (T, 2)
+    x/y trajectory of the composed odometry means."""
+    import numpy as np
+
+    from ..core.geometry import se2_compose
+    from ..factors.factors import (SE2RelativeGaussianLikelihoodFactor,
+                                   UnarySE2ApproximateGaussianPriorFactor)
+
+    rbt_vars: List[Variable] = []
+    var2pose: Dict[Variable, "np.ndarray"] = {}
+    xy: List[List[float]] = []
+    for step_nodes, step_factors in nodes_factors_by_step:
+        for f in step_factors:
+            if isinstance(f, (PriorFactor,
+                              UnarySE2ApproximateGaussianPriorFactor)) and \
+                    len(f.vars) == 1 and f.vars[0].dim == 3:
+                rbt_vars.append(f.vars[0])
+                var2pose[f.vars[0]] = np.asarray(f.observation,
+                                                 dtype=np.float64)
+                xy.append([var2pose[f.vars[0]][0], var2pose[f.vars[0]][1]])
+            elif isinstance(f, SE2RelativeGaussianLikelihoodFactor):
+                if rbt_vars and f.var1 == rbt_vars[-1]:
+                    pose = np.asarray(se2_compose(
+                        var2pose[f.var1],
+                        np.asarray(f.observation, dtype=np.float64)))
+                    var2pose[f.var2] = pose
+                    rbt_vars.append(f.var2)
+                    xy.append([pose[0], pose[1]])
+    return np.asarray(xy, dtype=np.float64)

@@ -163,3 +163,66 @@ EDGE2 0 1 2.0 0.0 0.0 25.0 0.0 25.0 100.0 0.0 0.0
     # toro ordering: xx xy yy tt xt yt
     info = np.array([[25.0, 0.0, 0.0], [0.0, 25.0, 0.0], [0.0, 0.0, 100.0]])
     np.testing.assert_allclose(f.covariance, np.linalg.inv(info), atol=1e-9)
+
+
+def test_dead_reckoning_extraction():
+    """inc_var_factor_to_dead_reckoning chains prior + odometry means
+    (reference incVarFactor2DRp RunBatch.py:349)."""
+    from nfisam_tpu.io import (graph_file_parser,
+                               group_nodes_factors_incrementally,
+                               inc_var_factor_to_dead_reckoning)
+    nodes, truth, factors = graph_file_parser(
+        "data/case1_factor_graph.fg", "fg")
+    batches = group_nodes_factors_incrementally(nodes, factors,
+                                                incremental_step=1)
+    xy = inc_var_factor_to_dead_reckoning(batches)
+    poses = sorted((str(v.name), truth[v]) for v in nodes
+                   if str(v.name).startswith("X"))
+    assert xy.shape == (len(poses), 2)
+    # noiseless odometry means should track the ground-truth path closely
+    gt = np.stack([p[1][:2] for p in poses])
+    assert np.linalg.norm(xy - gt, axis=1).max() < 1.0
+
+
+def test_caesar_export():
+    """Caesar.jl bridge emits one addVariable!/addFactor! per element and
+    per-step solveTree! calls (role of fg2caesar.jl)."""
+    from nfisam_tpu.io import (export_caesar_script, graph_file_parser,
+                               group_nodes_factors_incrementally)
+    nodes, truth, factors = graph_file_parser(
+        "data/case1_factor_graph.fg", "fg")
+    batches = group_nodes_factors_incrementally(nodes, factors,
+                                                incremental_step=1)
+    script = export_caesar_script(batches, truth=truth)
+    assert script.count("addVariable!") == len(nodes)
+    assert script.count("addFactor!") == len(factors)
+    assert script.count("solveTree!") == len(batches)
+    assert "Pose2Pose2" in script and "Pose2Point2Range" in script \
+        and "PriorPose2" in script
+    # every SE2 pose maps to Pose2, every landmark to Point2
+    assert script.count(", Pose2)") == sum(
+        1 for v in nodes if v.dim == 3)
+    assert script.count(", Point2)") == sum(
+        1 for v in nodes if v.dim == 2)
+
+
+def test_caesar_export_ada_multihypo():
+    from nfisam_tpu.core.variables import (R2Variable, SE2Variable,
+                                           VariableType)
+    from nfisam_tpu.factors.factors import (
+        SE2R2RangeGaussianLikelihoodFactor,
+        UnarySE2ApproximateGaussianPriorFactor)
+    from nfisam_tpu.factors.mixtures import AmbiguousDataAssociationFactor
+    from nfisam_tpu.io import export_caesar_script
+    x0 = SE2Variable("X0")
+    l1 = R2Variable("L1", variable_type=VariableType.Landmark)
+    l2 = R2Variable("L2", variable_type=VariableType.Landmark)
+    prior = UnarySE2ApproximateGaussianPriorFactor(
+        x0, [0., 0., 0.], np.diag([.1, .1, .01]))
+    ada = AmbiguousDataAssociationFactor(
+        observer_var=x0, observed_vars=[l1, l2], weights=[0.6, 0.4],
+        binary_factor_class=SE2R2RangeGaussianLikelihoodFactor,
+        observation=[5.0], sigma=0.3)
+    script = export_caesar_script([([x0, l1, l2], [prior, ada])])
+    assert "multihypo=[1; 0.6; 0.4]" in script
+    assert "Pose2Point2Range(Normal(5, 0.3))" in script
