@@ -140,3 +140,30 @@ def test_nested_clique_training_path():
     samples = solver.incremental_inference()
     m1 = np.asarray(samples[xs[1]]).mean(0)
     assert np.linalg.norm(m1 - np.array([1.1, 1.0])) < 0.3
+
+
+def test_training_losses_lazy_materialization():
+    """Loss curves stay on device during the solve and materialize via
+    solver.training_losses(); curves must be finite, non-empty, and
+    truncated at the early-stop iteration."""
+    xs, factors, disp = _linear_gaussian_chain(3, sigma=0.5)
+    args = NFiSAMArgs(posterior_sample_num=200, local_sample_num=500,
+                      flow_iterations=300, num_knots=8, learning_rate=0.03,
+                      elimination_method="natural", seed=1)
+    solver = NFiSAM(args)
+    for x in xs:
+        solver.add_node(x)
+    for f in factors:
+        solver.add_factor(f)
+    solver.update_physical_and_working_graphs()
+    solver.incremental_inference()
+    # still lazy device handles
+    assert all(isinstance(v, tuple)
+               for v in solver._temp_training_loss.values())
+    losses = solver.training_losses()
+    assert losses
+    for name, curve in losses.items():
+        assert 0 < len(curve) <= 300
+        assert all(np.isfinite(curve))
+        # training should reduce NLL from the start to the minimum
+        assert min(curve) < curve[0]
