@@ -122,3 +122,47 @@ def run_incrementally(case_dir: str, solver: FactorGraphSolver,
                     hf.write(line + "\n")
                     weights.append(hypo_weights)
     return run_dir
+
+
+def nfisam_empirical_study(knots, iters, training_samples, learning_rates,
+                           hidden_dims, case_dir: str, data_file: str,
+                           data_format: str, incremental_step: int = 1,
+                           prior_cov_scale: float = 0.1,
+                           plot_args: Optional[dict] = None,
+                           solver_class=None, **kwargs) -> List[str]:
+    """Hyperparameter grid-search driver (reference
+    ``NFiSAM_empirial_study`` NFiSAM.py:589-609): parse the dataset once,
+    then run the full incremental solve for every combination of
+    (num_knots, flow_iterations, local_sample_num, learning_rate,
+    hidden_dim), each in its own ``run{N}`` directory.  Returns the run
+    directories.  ``solver_class`` defaults to the wavefront-parallel
+    solver; extra kwargs flow into ``NFiSAMArgs``."""
+    import itertools
+
+    from ..io import graph_file_parser, group_nodes_factors_incrementally
+    from .nfisam import NFiSAMArgs
+
+    if solver_class is None:
+        from ..parallel.scheduler import ParallelNFiSAM as solver_class
+
+    data_dir = os.path.join(case_dir, data_file)
+    nodes, truth, factors = graph_file_parser(
+        data_file=data_dir, data_format=data_format,
+        prior_cov_scale=prior_cov_scale)
+    nodes_factors_by_step = group_nodes_factors_incrementally(
+        nodes=nodes, factors=factors, incremental_step=incremental_step)
+
+    run_dirs: List[str] = []
+    for knt, it, n_train, lr, hid in itertools.product(
+            knots, iters, training_samples, learning_rates, hidden_dims):
+        args = NFiSAMArgs(num_knots=knt, flow_iterations=it,
+                          local_sample_num=n_train, learning_rate=lr,
+                          hidden_dim=hid, **kwargs)
+        solver = solver_class(args)
+        run_dirs.append(run_incrementally(case_dir, solver,
+                                          nodes_factors_by_step, truth,
+                                          plot_args=plot_args))
+    return run_dirs
+
+
+NFiSAM_empirial_study = nfisam_empirical_study  # reference-spelling alias
