@@ -167,7 +167,7 @@ def gaussian_kernel_stein_discrepancy(joint_factor, kernel_precision,
     off_np = np.asarray(off)
     for i in range(nboot):
         w = (rng.multinomial(n, np.ones(n) / n) / n).reshape(-1, 1)
-        boot[i] = float((w.T - 1 / n) @ off_np @ (w - 1 / n))
+        boot[i] = ((w.T - 1 / n) @ off_np @ (w - 1 / n)).item()
     p_u = float((boot >= ustats).mean())
     return ustats, p_u, off_np, vstats
 

@@ -39,7 +39,10 @@ class SolverArgs:
     local_sample_num: int = 500
     store_clique_samples: bool = False
     local_sampling_method: str = "direct"    # direct | nested
-    adaptive_posterior_sampling: Optional[str] = None
+    # NOTE: the reference's ``adaptive_posterior_sampling`` knob
+    # (FactorGraphSolver.py:34) routes to ``adaptive_posterior``, which the
+    # reference never implements (``:402-407`` raises unconditionally) — the
+    # dead knob is intentionally not carried over.
     seed: int = 0
 
     def json_str(self) -> str:
@@ -203,40 +206,46 @@ class FactorGraphSolver:
         """
         stale = set(self._clique_density_model.keys()) - \
             self._physical_bayes_tree.clique_nodes
+        if not stale:
+            return
+        # O(stale + cliques): index candidates by variable set and compare
+        # in-clique column orderings via position maps instead of rebuilding
+        # ordering-filtered lists per (stale, new) pair.
+        by_vars: Dict[frozenset, CliqueNode] = {}
+        for nc in self._working_bayes_tree.clique_nodes:
+            by_vars[frozenset(nc.vars)] = nc
+        old_pos = {v: i for i, v in enumerate(old_ordering)}
+        new_pos = {v: i for i, v in enumerate(self._elimination_ordering)}
         for old_clique in stale:
-            for new_clique in self._working_bayes_tree.clique_nodes:
-                same_vars = old_clique.vars == new_clique.vars
-                if not same_vars:
-                    continue
-                old_cols = [v for v in old_ordering
-                            if v in old_clique.vars]
-                new_cols = [v for v in self._elimination_ordering
-                            if v in new_clique.vars]
-                if old_cols != new_cols:
-                    continue
-                self._clique_true_obs[new_clique] = \
-                    self._clique_true_obs[old_clique]
-                if old_clique in self._clique_variable_pattern:
-                    self._clique_variable_pattern[new_clique] = \
-                        self._clique_variable_pattern[old_clique]
-                if old_clique in self._clique_samples:
-                    self._clique_samples[new_clique] = \
-                        self._clique_samples[old_clique]
-                self._clique_density_model[new_clique] = \
-                    self.root_clique_density_model_to_leaf(
-                        old_clique, new_clique)
-                new_sep_factor = None
-                if new_clique.separator:
-                    sep_list = sorted(
-                        new_clique.separator,
-                        key=lambda v: self._reverse_ordering_map[v])
-                    new_sep_factor = self.clique_density_to_separator_factor(
-                        sep_list, self._clique_density_model[new_clique],
-                        self._clique_true_obs[old_clique])
-                    self._implicit_factors[new_clique] = new_sep_factor
-                self._working_graph = self._working_graph.without_clique(
-                    clique=new_clique, new_factor=new_sep_factor)
-                break
+            new_clique = by_vars.get(frozenset(old_clique.vars))
+            if new_clique is None:
+                continue
+            old_cols = sorted(old_clique.vars, key=old_pos.__getitem__)
+            new_cols = sorted(new_clique.vars, key=new_pos.__getitem__)
+            if old_cols != new_cols:
+                continue
+            self._clique_true_obs[new_clique] = \
+                self._clique_true_obs[old_clique]
+            if old_clique in self._clique_variable_pattern:
+                self._clique_variable_pattern[new_clique] = \
+                    self._clique_variable_pattern[old_clique]
+            if old_clique in self._clique_samples:
+                self._clique_samples[new_clique] = \
+                    self._clique_samples[old_clique]
+            self._clique_density_model[new_clique] = \
+                self.root_clique_density_model_to_leaf(
+                    old_clique, new_clique)
+            new_sep_factor = None
+            if new_clique.separator:
+                sep_list = sorted(
+                    new_clique.separator,
+                    key=lambda v: self._reverse_ordering_map[v])
+                new_sep_factor = self.clique_density_to_separator_factor(
+                    sep_list, self._clique_density_model[new_clique],
+                    self._clique_true_obs[old_clique])
+                self._implicit_factors[new_clique] = new_sep_factor
+            self._working_graph = self._working_graph.without_clique(
+                clique=new_clique, new_factor=new_sep_factor)
         for old_clique in stale:
             self._clique_density_model.pop(old_clique, None)
             self._clique_true_obs.pop(old_clique, None)
