@@ -127,7 +127,8 @@ class ParallelNFiSAM(NFiSAM):
                          for (_, _, _, c, pd) in items])
                     p_s, il_s, t_s, m_s, s_s = fit_flows_batched(
                         keys, samples_stack, cfg, tc, masks,
-                        scale_circular=scale_circ)
+                        scale_circular=scale_circ,
+                        mesh=self._args.data_parallel_mesh)
                     stacked = []
                     for b, (clique, _, var_ordering, _, pad) in \
                             enumerate(items):

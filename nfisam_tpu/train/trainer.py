@@ -91,7 +91,9 @@ def _build_train_program(cfg: NSFConfig, tc: TrainConfig,
                 stop_now = (slow_iter >= 0) & ((t + 1) >= slow_iter)
             else:
                 # --- loss-plateau stopping on the training curve ----------
-                w = tc.average_window
+                # clamp the window so tiny max_iters (tests, dryruns) never
+                # slice past the loss buffer
+                w = min(tc.average_window, max(tc.max_iters // 2, 1))
                 due = ((t % w) == 0) & (t >= 2 * w)
                 t_safe = jnp.maximum(t, 2 * w)
                 cur = jax.lax.dynamic_slice(iter_loss, (t_safe - w,),
@@ -161,8 +163,12 @@ def _full_fit_core(cfg: NSFConfig, tc: TrainConfig,
     def run(key, samples_raw, circ_mask):
         k_init, k_shuffle = jax.random.split(jnp.asarray(key))
         params = init_flow_params(k_init, cfg)
-        perm = jax.random.permutation(k_shuffle, samples_raw.shape[0])
-        samples_raw = samples_raw[perm]
+        if has_validation:
+            # the shuffle only matters for the train/validation split; the
+            # full-batch loss is permutation-invariant, and skipping the
+            # gather keeps the sample axis shardable with no collective
+            perm = jax.random.permutation(k_shuffle, samples_raw.shape[0])
+            samples_raw = samples_raw[perm]
         mean, std = compute_normalizer(samples_raw, circ_mask,
                                        scale_circular=scale_circular)
         xn = normalize(samples_raw, mean, std, circ_mask)
@@ -194,19 +200,49 @@ def _cached_batched_program(cfg: NSFConfig, tc: TrainConfig,
 
 
 def fit_flows_batched(keys, samples_stack, cfg: NSFConfig, tc: TrainConfig,
-                      circ_masks, scale_circular: bool = True):
+                      circ_masks, scale_circular: bool = True,
+                      mesh: Optional[jax.sharding.Mesh] = None):
     """Train ``B`` same-dim clique flows concurrently.
 
     ``keys`` (B, 2) raw key data; ``samples_stack`` (B, n, dim);
     ``circ_masks`` (B, dim) booleans.
     Returns stacked (params, iter_loss, n_iters, mean, std).
+
+    With ``mesh`` (axes ``("clique", "data")``, see ``parallel.mesh``), the
+    clique axis is sharded over ``clique`` and the sample axis over
+    ``data`` — independent cliques land on different chips, and each
+    clique's full-batch gradient is psum-reduced over its data shards
+    (the clique- and data-parallelism of SURVEY §2.3, wired through the
+    product path).  ``B`` is padded up to a multiple of the clique-axis
+    size by repeating the last clique; padded results are discarded.
     """
     samples_stack = jnp.asarray(samples_stack, dtype=jnp.float32)
+    keys = jnp.asarray(keys)
+    masks = jnp.asarray(np.asarray(circ_masks, dtype=bool))
     B, n = samples_stack.shape[0], samples_stack.shape[1]
+    pad_b = 0
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_clique = mesh.shape.get("clique", 1)
+        pad_b = (-B) % n_clique
+        if pad_b:
+            rep = (pad_b,) + (1,) * (samples_stack.ndim - 1)
+            samples_stack = jnp.concatenate(
+                [samples_stack, jnp.tile(samples_stack[-1:], rep)], axis=0)
+            keys = jnp.concatenate([keys, jnp.tile(keys[-1:], (pad_b, 1))],
+                                   axis=0)
+            masks = jnp.concatenate(
+                [masks, jnp.tile(masks[-1:], (pad_b, 1))], axis=0)
+        samples_stack = jax.device_put(
+            samples_stack, NamedSharding(mesh, P("clique", "data", None)))
+        keys = jax.device_put(keys, NamedSharding(mesh, P("clique", None)))
+        masks = jax.device_put(masks, NamedSharding(mesh, P("clique", None)))
     program = _cached_batched_program(cfg, tc, scale_circular,
-                                      int(n), int(B))
-    return program(jnp.asarray(keys), samples_stack,
-                   jnp.asarray(np.asarray(circ_masks, dtype=bool)))
+                                      int(n), int(B + pad_b))
+    out = program(keys, samples_stack, masks)
+    if pad_b:
+        out = jax.tree_util.tree_map(lambda x: x[:B], out)
+    return out
 
 
 def fit_flow_raw(key, samples_raw, cfg: NSFConfig, tc: TrainConfig,
@@ -216,12 +252,20 @@ def fit_flow_raw(key, samples_raw, cfg: NSFConfig, tc: TrainConfig,
     call.  Returns (params, iter_loss, n_iters, mean, std)."""
     samples_raw = jnp.asarray(samples_raw, dtype=jnp.float32)
     circ_mask = np.asarray([bool(c) for c in circular_dim_list], dtype=bool)
+    if mesh is not None:
+        # shard the sample axis over ALL mesh axes (a lone clique fit wants
+        # every chip); params stay replicated so XLA reduces the full-batch
+        # gradient with one all-reduce over ICI
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = mesh.devices.size
+        keep = (samples_raw.shape[0] // n_dev) * n_dev
+        if keep != samples_raw.shape[0]:
+            samples_raw = samples_raw[:keep]
+        samples_raw = jax.device_put(
+            samples_raw, NamedSharding(mesh, P(tuple(mesh.axis_names),
+                                               None)))
     program = _cached_full_program(cfg, tc, scale_circular,
                                    int(samples_raw.shape[0]))
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        samples_raw = jax.device_put(
-            samples_raw, NamedSharding(mesh, P(None, None)))
     return program(key, samples_raw, jnp.asarray(circ_mask))
 
 
