@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Headline benchmark: case1 incremental NF-iSAM solve on TPU.
+"""Headline benchmark: case1 incremental NF-iSAM solve on TPU, with an
+accuracy gate.
 
 Workload = the reference's journal-paper configuration on
 ``small_range_gaussian_problem/journal_paper/case1`` (6 SE2 poses +
@@ -8,21 +9,29 @@ Adam iters, 2000 training samples, lr 0.025, hidden 8, 1000 posterior
 samples, pose_first ordering).  Reference total wall-clock: 32.23 s
 (sum of ``run1/step_timing``; see BASELINE.md).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Speed: median of 3 steady-state runs (first pass populates the
+persistent XLA compile cache; an incremental SLAM deployment sees the
+steady state).
 
-The first pass populates the persistent XLA compilation cache; the
-reported number is the steady-state (second) run, which is what an
-incremental SLAM deployment experiences.
+Accuracy gate (reference protocol ``icra_paper/compute_mmd.py:101-149``):
+joint translation-dim MMD vs the committed dynesty posteriors
+(``journal_paper/case1/dyn1/step{0..3}.sample`` — steps 4-5 have no
+committed samples), 500-sample subsets, averaged over steps.  The same
+metric is computed for the reference's own run1 samples; the bench FAILS
+(exit 1) if our MMD exceeds 2x the reference's.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "mmd_joint": ..., "ref_mmd_joint": ..., "accuracy_ok": bool}
 """
 import json
 import os
 import sys
 import time
 
+HERE = os.path.dirname(os.path.abspath(__file__))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+                      os.path.join(HERE, ".jax_cache"))
 
 import jax  # noqa: E402
 
@@ -32,6 +41,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 
+from nfisam_tpu.eval import mmd  # noqa: E402
 from nfisam_tpu.io import (graph_file_parser,  # noqa: E402
                            group_nodes_factors_incrementally)
 from nfisam_tpu.parallel.scheduler import ParallelNFiSAM  # noqa: E402
@@ -40,11 +50,14 @@ from nfisam_tpu.solver import NFiSAMArgs  # noqa: E402
 BASELINE_TOTAL_S = 32.23   # reference run1/step_timing sum (BASELINE.md)
 FG = ("/root/reference/example/slam/small_range_gaussian_problem/"
       "journal_paper/case1/factor_graph.fg")
-LOCAL_FG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "data", "case1_factor_graph.fg")
+LOCAL_FG = os.path.join(HERE, "data", "case1_factor_graph.fg")
+REF_DIR = os.path.join(HERE, "data", "case1_ref")
+MMD_STEPS = (0, 1, 2, 3)   # dyn1 ships posterior samples for these steps
+MMD_SUBSET = 500
+MMD_GATE_FACTOR = 2.0
 
 
-def solve_once(nodes, factors, seed):
+def solve_once(nodes, factors, seed, collect_steps=False):
     batches = group_nodes_factors_incrementally(nodes, factors,
                                                 incremental_step=1)
     args = NFiSAMArgs(posterior_sample_num=1000, local_sample_num=2000,
@@ -57,6 +70,7 @@ def solve_once(nodes, factors, seed):
     solver = ParallelNFiSAM(args)
     t0 = time.time()
     samples = None
+    per_step = []
     for (ns, fs) in batches:
         for n in ns:
             solver.add_node(n)
@@ -64,27 +78,74 @@ def solve_once(nodes, factors, seed):
             solver.add_factor(f)
         solver.update_physical_and_working_graphs()
         samples = solver.incremental_inference()
+        if collect_steps:
+            per_step.append({v: np.asarray(s) for v, s in samples.items()})
     # force completion of any async device work
     for v, s in samples.items():
         np.asarray(s)
-    return time.time() - t0, samples
+    return time.time() - t0, samples, per_step
+
+
+def _translation_block(samples_by_name, name2dim, names):
+    return np.hstack([np.asarray(samples_by_name[n])[:, :2] for n in names])
+
+
+def _ref_matrix_columns(mat, order, name2dim, names):
+    pos, cur = {}, 0
+    for n in order:
+        pos[n] = cur
+        cur += name2dim[n]
+    return np.hstack([mat[:, pos[n]:pos[n] + 2] for n in names])
+
+
+def accuracy_gate(per_step, nodes):
+    """Joint translation MMD vs dynesty for our run and the reference's
+    run1, averaged over the steps with committed dynesty samples."""
+    name2dim = {str(v.name): v.dim for v in nodes}
+    rng = np.random.default_rng(0)
+
+    def pick(A):
+        return A[rng.choice(len(A), min(MMD_SUBSET, len(A)),
+                            replace=False)]
+
+    ours, refs = [], []
+    for step in MMD_STEPS:
+        dyn = np.loadtxt(os.path.join(REF_DIR, f"dyn_step{step}.sample"))
+        dyn_order = open(os.path.join(
+            REF_DIR, f"dyn_step{step}_ordering")).read().split()
+        run1 = np.loadtxt(os.path.join(REF_DIR, f"run1_step{step}"))
+        run1_order = open(os.path.join(
+            REF_DIR, f"run1_step{step}_ordering")).read().split()
+
+        dyn_block = _ref_matrix_columns(dyn, dyn_order, name2dim, dyn_order)
+        run1_block = _ref_matrix_columns(run1, run1_order, name2dim,
+                                         dyn_order)
+        step_samples = {str(v.name): s for v, s in per_step[step].items()}
+        our_block = _translation_block(step_samples, name2dim, dyn_order)
+
+        ours.append(mmd(pick(our_block), pick(dyn_block)))
+        refs.append(mmd(pick(run1_block), pick(dyn_block)))
+    return float(np.mean(ours)), float(np.mean(refs)), \
+        [round(x, 4) for x in ours], [round(x, 4) for x in refs]
 
 
 def main():
     fg = FG if os.path.exists(FG) else LOCAL_FG
     nodes, truth, factors = graph_file_parser(fg, "fg")
 
-    t_warm, _ = solve_once(nodes, factors, seed=0)
+    t_warm, _, _ = solve_once(nodes, factors, seed=0)
     print(f"# warmup (incl. compile): {t_warm:.2f} s", file=sys.stderr)
-    # the tunneled-TPU link is noisy (host<->device round trips can
-    # intermittently degrade ~30ms/op); report the best of two
-    # steady-state runs as the representative deployment number
-    t_meas, samples = solve_once(nodes, factors, seed=1)
-    print(f"# steady-state 1: {t_meas:.2f} s", file=sys.stderr)
-    t_meas2, samples2 = solve_once(nodes, factors, seed=2)
-    print(f"# steady-state 2: {t_meas2:.2f} s", file=sys.stderr)
-    if t_meas2 < t_meas:
-        t_meas, samples = t_meas2, samples2
+    times = []
+    samples = None
+    per_step = None
+    for i, seed in enumerate((1, 2, 3)):
+        t, s, ps = solve_once(nodes, factors, seed=seed,
+                              collect_steps=(i == 0))
+        print(f"# steady-state {i + 1}: {t:.2f} s", file=sys.stderr)
+        times.append(t)
+        if i == 0:
+            samples, per_step = s, ps
+    t_meas = float(np.median(times))
 
     # sanity: posterior means near ground truth
     max_err = 0.0
@@ -96,12 +157,26 @@ def main():
     print(f"# max translation error of posterior means: {max_err:.2f} m",
           file=sys.stderr)
 
+    mmd_joint, ref_mmd_joint, per_ours, per_refs = accuracy_gate(per_step,
+                                                                 nodes)
+    print(f"# joint MMD vs dynesty per step {list(MMD_STEPS)}: "
+          f"ours {per_ours} reference-run1 {per_refs}", file=sys.stderr)
+    ok = mmd_joint <= MMD_GATE_FACTOR * ref_mmd_joint
+
     print(json.dumps({
         "metric": "case1_incremental_total_wall_s",
         "value": round(t_meas, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_TOTAL_S / t_meas, 2),
+        "mmd_joint": round(mmd_joint, 4),
+        "ref_mmd_joint": round(ref_mmd_joint, 4),
+        "accuracy_ok": bool(ok),
     }))
+    if not ok:
+        print(f"# ACCURACY GATE FAILED: joint MMD {mmd_joint:.4f} > "
+              f"{MMD_GATE_FACTOR}x reference {ref_mmd_joint:.4f}",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
