@@ -99,6 +99,21 @@ def negative_log_likelihood(flow_params: List[dict], x_norm: jax.Array,
 from functools import lru_cache  # noqa: E402
 
 
+def _use_pallas_inverse(cfg: NSFConfig) -> bool:
+    """Fused Pallas AR-inverse on TPU (measured v5e: ~23x at clique-scale
+    n=1000 where the XLA path is launch-bound, 1.2-1.7x at n>=32k where
+    both are compute-bound; see BENCHMARKS.md).  ``NFISAM_PALLAS_INVERSE``
+    = 1/0 forces it on/off; default: on for TPU backends at the dim range
+    the unrolled kernel compiles quickly for."""
+    import os
+    env = os.environ.get("NFISAM_PALLAS_INVERSE", "auto").lower()
+    if env in ("1", "true", "on"):
+        return True
+    if env in ("0", "false", "off"):
+        return False
+    return jax.default_backend() == "tpu" and cfg.dim <= 32
+
+
 @lru_cache(maxsize=64)
 def _conditional_sample_program(cfg: NSFConfig):
     """Width-agnostic conditional sampler: the separator split arrives as
@@ -106,6 +121,11 @@ def _conditional_sample_program(cfg: NSFConfig):
     flow config serves every clique (per-``sep_dim`` variants of the
     unrolled inverse were the dominant compile cost at Plaza scale)."""
     base = BaseDistribution(cfg.circular_mask)
+    if _use_pallas_inverse(cfg):
+        from .ar_inverse_pallas import stack_inverse_masked_pallas
+        inverse_fn = stack_inverse_masked_pallas
+    else:
+        inverse_fn = stack_inverse_masked
 
     @jax.jit
     def run(flow_params, mean, std, circ_mask, key, obs_full,
@@ -114,8 +134,8 @@ def _conditional_sample_program(cfg: NSFConfig):
         x_prefix = normalize(obs_full, mean, std, circ_mask, 0)
         x_prefix = jnp.where(invert_mask[None, :], 0.0, x_prefix)
         z_full = base.sample(key, n)
-        x_full = stack_inverse_masked(flow_params, z_full, x_prefix,
-                                      invert_mask, cfg)
+        x_full = inverse_fn(flow_params, z_full, x_prefix,
+                            invert_mask, cfg)
         x_out = unnormalize(x_full, mean, std, circ_mask, init_dim=0)
         return x_out
 

@@ -17,9 +17,11 @@ Status: validated bit-for-bit against the XLA path (golden tests in
 on TPU v5e at clique-scale shapes — the standalone spline is memory-bound
 either way, and the host-side ``(M, K) -> (K, M)`` transpose eats the
 kernel's fusion win.  The XLA implementation in ``rqs.py`` therefore stays
-the default (and the autodiff path); the planned next step is fusing the
-AR conditioner matvec *and* the spline of one inverse dim-step into a
-single kernel, where the op-count reduction is ~10x rather than ~2x.
+the default for this op (and the autodiff path).  The follow-up identified
+here — fusing the AR conditioner and the spline inverse of ALL dim-steps
+into one kernel — is built and adopted on the sampling hot path: see
+``ar_inverse_pallas.py`` (measured ~23x per inverse at clique-scale
+n=1000, 1.2-1.7x at n>=32k; BENCHMARKS.md).
 """
 from __future__ import annotations
 
