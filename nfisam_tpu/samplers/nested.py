@@ -100,9 +100,17 @@ def _rslice_replace(key, u0, l0, L_thresh, ptform, loglike, S, max_shrink):
 
     def one_slice(carry, k):
         u, l, nc = carry
-        kd, kw = jax.random.split(k)
+        kd, kp, kw = jax.random.split(k, 3)
         d = jax.random.normal(kd, (K, dim))
         d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        # Neal 2003 fixed-length interval: placed uniformly at random so it
+        # contains t=0 (the current point).  A deterministically centered
+        # bracket would break reversibility and bias samples toward the
+        # mode (observed as logz biased high on the case1 oracle).
+        off = jax.random.uniform(kp, (K,))
+        w = 2.0
+        lo0 = -w * off
+        hi0 = lo0 + w
 
         def cond(st):
             i, lo, hi, done, _u, _l, _k, _nc = st
@@ -123,7 +131,7 @@ def _rslice_replace(key, u0, l0, L_thresh, ptform, loglike, S, max_shrink):
             hi = jnp.where(shrink & (t >= 0), t, hi)
             return (i + 1, lo, hi, done, u_out, l_out, kk, nc2 + K)
 
-        st = (jnp.int32(0), -jnp.ones(K), jnp.ones(K),
+        st = (jnp.int32(0), lo0, hi0,
               jnp.zeros(K, bool), u, l, kw, nc)
         _, _, _, _, u, l, _, nc = jax.lax.while_loop(cond, body, st)
         return (u, l, nc), None
@@ -401,6 +409,9 @@ class GlobalNestedSampler:
                            replace_batch=max(live_points // 40, 8),
                            dlogz=dlogz, max_iters=max_iters,
                            proposal=proposal)
+        # reference convention (NestedSampling.py:41): any sampling_method
+        # other than "nested" selects the dynamic sampler
+        dynamic = dynamic or sampling_method not in ("nested",)
         if dynamic:
             samples = dynamic_nested_sample(
                 key, self.joint.ptform, self.joint.loglike, self._dim,

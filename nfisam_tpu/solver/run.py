@@ -120,7 +120,22 @@ def run_incrementally(case_dir: str, solver: FactorGraphSolver,
                     line = " ".join(str(v.name) for v in factor.vars) + \
                         " : " + ",".join(str(w) for w in hypo_weights)
                     hf.write(line + "\n")
-                    weights.append(hypo_weights)
+                    weights.append((i, hypo_weights))
+
+    if mixture_factor2weights:
+        # DA hypothesis-weight trajectories (reference logs these
+        # numerically per step, FactorGraphSolver.py:913-933)
+        from ..eval.viz import plot_hypothesis_weights
+        step_weights: Dict[int, Dict[str, np.ndarray]] = {}
+        for factor, hist in mixture_factor2weights.items():
+            label = "->".join([str(factor.vars[0].name),
+                               "|".join(str(v.name)
+                                        for v in factor.vars[1:])])
+            for step_i, w in hist:
+                step_weights.setdefault(step_i, {})[label] = w
+        if any(step_weights.values()):
+            plot_hypothesis_weights(step_weights,
+                                    file_name=f"{run_dir}/hypoweights.png")
     return run_dir
 
 
