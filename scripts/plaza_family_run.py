@@ -1,0 +1,78 @@
+"""Plaza-family benchmark runner (reference spec
+``example/slam/plaza_dataset/run_nfisam.py:5-21``: incremental_step=5,
+knots 9, <=2000 iters, 2000 train samples, lr .01, pose_first, 1000
+posterior samples).  Covers Plaza1/Plaza2 and the ambiguous-DA variants.
+
+Usage: python scripts/plaza_family_run.py <dataset>   # plaza2 |
+       plaza1_ada0.4 | plaza1
+Writes /tmp/<dataset>_results.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import numpy as np
+
+from nfisam_tpu.io import (graph_file_parser,
+                           group_nodes_factors_incrementally)
+from nfisam_tpu.parallel.scheduler import ParallelNFiSAM
+from nfisam_tpu.solver import NFiSAMArgs
+
+DATASET = sys.argv[1] if len(sys.argv) > 1 else "plaza2"
+DATA = f"/root/repo/data/{DATASET}_factor_graph.fg"
+OUT = f"/tmp/{DATASET}_results.json"
+
+
+def main():
+    nodes, truth, factors = graph_file_parser(DATA, "fg")
+    batches = group_nodes_factors_incrementally(nodes, factors,
+                                                incremental_step=5)
+    args = NFiSAMArgs(posterior_sample_num=1000, local_sample_num=2000,
+                      flow_iterations=2000, num_knots=9,
+                      learning_rate=0.01, hidden_dim=8,
+                      elimination_method="pose_first", seed=0)
+    solver = ParallelNFiSAM(args)
+    step_times = []
+    samples = None
+    t_all = time.time()
+    for i, (ns, fs) in enumerate(batches):
+        for n in ns:
+            solver.add_node(n)
+        for f in fs:
+            solver.add_factor(f)
+        t0 = time.time()
+        solver.update_physical_and_working_graphs()
+        samples = solver.incremental_inference()
+        step_times.append(time.time() - t0)
+        if i % 10 == 0 or step_times[-1] > 30:
+            print(f"step {i}/{len(batches)}: {step_times[-1]:.1f}s, "
+                  f"total {time.time() - t_all:.0f}s", flush=True)
+    total = time.time() - t_all
+
+    means = {v: np.asarray(samples[v]).mean(0) for v in samples}
+    errs = np.array([np.linalg.norm(means[v][:2] - truth[v][:2])
+                     for v in samples if v in truth])
+    result = {"dataset": DATASET,
+              "total_s": round(total, 1),
+              "n_steps": len(batches),
+              "mean_step_s": round(float(np.mean(step_times)), 2),
+              "median_step_s": round(float(np.median(step_times)), 2),
+              "max_step_s": round(float(np.max(step_times)), 2),
+              "trans_rmse": round(float(np.sqrt((errs ** 2).mean())), 3),
+              "max_err": round(float(errs.max()), 2)}
+    print(json.dumps(result), flush=True)
+    with open(OUT, "w") as f:
+        json.dump({**result,
+                   "step_times": [round(t, 3) for t in step_times]}, f)
+
+
+if __name__ == "__main__":
+    main()
