@@ -55,17 +55,30 @@ def read_factor_graph_from_file(file_name: str) -> Tuple[
     truth: Dict[Variable, np.ndarray] = {}
     factors: List[Factor] = []
     with open(file_name) as f:
-        for line in f:
+        for line_no, line in enumerate(f, start=1):
             tok = line.strip().split()
             if not tok:
                 continue
-            if tok[0] == "Variable":
-                var, val = read_variable_and_truth_from_line(line)
-                variables.append(var)
-                if val is not None:
-                    truth[var] = val
-            elif tok[0] == "Factor":
-                factors.append(Factor.construct_from_text(line, variables))
+            # unknown leading tokens are skipped (comment convention shared
+            # with the reference's line-dispatch reader)
+            try:
+                if tok[0] == "Variable":
+                    var, val = read_variable_and_truth_from_line(line)
+                    variables.append(var)
+                    if val is not None:
+                        truth[var] = val
+                elif tok[0] == "Factor":
+                    factors.append(Factor.construct_from_text(line,
+                                                              variables))
+            except KeyError as e:
+                raise ValueError(
+                    f"{file_name}:{line_no}: factor references unknown "
+                    f"variable {e} (declare Variables before Factors): "
+                    f"{line.strip()!r}") from e
+            except (ValueError, IndexError) as e:
+                raise ValueError(
+                    f"{file_name}:{line_no}: malformed line "
+                    f"{line.strip()!r}: {e}") from e
     return variables, truth, factors
 
 
