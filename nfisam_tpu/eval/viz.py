@@ -142,9 +142,11 @@ def _truth_factor_edges(ax, truth_factors, truth, plot_all_meas,
             show = plot_all_meas or (
                 plot_meas_give_pose is not None and
                 var1 in set(plot_meas_give_pose))
-            if not show:
+            if not show or var1 not in truth:
                 continue
             for var2 in factor.child_vars:
+                if var2 not in truth:
+                    continue
                 color, width, _ = edge_style(var1, var2)
                 (x1, y1), (x2, y2) = truth[var1][:2], truth[var2][:2]
                 ax.plot([x1, x2], [y1, y2], "--", c=color,
@@ -312,9 +314,15 @@ def _gaussian_kde_grid(xy: np.ndarray, grid_n: int = 120,
     gy = np.linspace(lo[1], hi[1], grid_n)
     XX, YY = np.meshgrid(gx, gy)
     pts = np.stack([XX.ravel(), YY.ravel()], axis=1)
-    d = pts[:, None, :] - xy[None, :, :]
-    e = np.einsum("gni,ij,gnj->gn", d, Hinv, d)
-    Z = norm * np.exp(-0.5 * e).sum(axis=1).reshape(grid_n, grid_n)
+    # evaluate in row chunks: the full (grid^2, n, 2) displacement tensor
+    # would be hundreds of MB; chunking bounds the transient at a few MB
+    Z = np.empty(pts.shape[0])
+    chunk = max(1, 2_000_000 // max(n, 1))
+    for s in range(0, pts.shape[0], chunk):
+        d = pts[s:s + chunk, None, :] - xy[None, :, :]
+        e = np.einsum("gni,ij,gnj->gn", d, Hinv, d)
+        Z[s:s + chunk] = np.exp(-0.5 * e).sum(axis=1)
+    Z = (norm * Z).reshape(grid_n, grid_n)
     return XX, YY, Z
 
 

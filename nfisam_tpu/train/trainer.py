@@ -224,6 +224,15 @@ def fit_flows_batched(keys, samples_stack, cfg: NSFConfig, tc: TrainConfig,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         n_clique = mesh.shape.get("clique", 1)
+        # drop-remainder on the sample axis (mirrors fit_flow_raw); if the
+        # batch is smaller than the data axis, replicate instead of shard
+        n_data = mesh.shape.get("data", 1)
+        keep_n = (n // n_data) * n_data
+        if keep_n == 0:
+            n_data = 1
+        elif keep_n != n:
+            samples_stack = samples_stack[:, :keep_n]
+            n = keep_n
         pad_b = (-B) % n_clique
         if pad_b:
             rep = (pad_b,) + (1,) * (samples_stack.ndim - 1)
@@ -234,7 +243,9 @@ def fit_flows_batched(keys, samples_stack, cfg: NSFConfig, tc: TrainConfig,
             masks = jnp.concatenate(
                 [masks, jnp.tile(masks[-1:], (pad_b, 1))], axis=0)
         samples_stack = jax.device_put(
-            samples_stack, NamedSharding(mesh, P("clique", "data", None)))
+            samples_stack,
+            NamedSharding(mesh, P("clique",
+                                  "data" if n_data > 1 else None, None)))
         keys = jax.device_put(keys, NamedSharding(mesh, P("clique", None)))
         masks = jax.device_put(masks, NamedSharding(mesh, P("clique", None)))
     program = _cached_batched_program(cfg, tc, scale_circular,
@@ -259,11 +270,17 @@ def fit_flow_raw(key, samples_raw, cfg: NSFConfig, tc: TrainConfig,
         from jax.sharding import NamedSharding, PartitionSpec as P
         n_dev = mesh.devices.size
         keep = (samples_raw.shape[0] // n_dev) * n_dev
-        if keep != samples_raw.shape[0]:
-            samples_raw = samples_raw[:keep]
-        samples_raw = jax.device_put(
-            samples_raw, NamedSharding(mesh, P(tuple(mesh.axis_names),
-                                               None)))
+        if keep == 0:
+            # fewer samples than devices: replicate rather than truncate
+            # to an empty batch (which would train an all-NaN flow)
+            samples_raw = jax.device_put(
+                samples_raw, NamedSharding(mesh, P(None, None)))
+        else:
+            if keep != samples_raw.shape[0]:
+                samples_raw = samples_raw[:keep]
+            samples_raw = jax.device_put(
+                samples_raw, NamedSharding(mesh, P(tuple(mesh.axis_names),
+                                                   None)))
     program = _cached_full_program(cfg, tc, scale_circular,
                                    int(samples_raw.shape[0]))
     return program(key, samples_raw, jnp.asarray(circ_mask))

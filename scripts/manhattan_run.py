@@ -50,9 +50,10 @@ def build_solver():
                   flow_iterations=2000, num_knots=9, learning_rate=0.02,
                   hidden_dim=8, elimination_method="pose_first", seed=0)
     if MESH_N:
-        from jax.sharding import Mesh
-        devs = np.array(jax.devices()[:MESH_N])
-        mesh = Mesh(devs.reshape(MESH_N // 2, 2), ("clique", "data"))
+        from nfisam_tpu.parallel.mesh import make_mesh
+        n_clique = 2 if MESH_N % 2 == 0 else 1
+        mesh = make_mesh(n_data=MESH_N // n_clique, n_clique=n_clique,
+                         devices=jax.devices()[:MESH_N])
         args = NFiSAMArgs(data_parallel_mesh=mesh, sample_mesh=mesh,
                           **kwargs)
     else:

@@ -169,3 +169,36 @@ def test_parallel_solver_end_to_end_on_mesh():
         np.testing.assert_allclose(np.asarray(sm).std(0),
                                    np.asarray(ss).std(0), atol=0.15)
     assert sharded_seen, "no posterior draw was distributed over the mesh"
+
+
+def test_fit_flows_batched_non_divisible_sample_axis():
+    """Sample axes not divisible by the data axis drop the remainder
+    instead of crashing device_put (regression: round-2 review)."""
+    from nfisam_tpu.train.trainer import fit_flows_batched
+    mesh = make_mesh(n_clique=2, n_data=4)
+    B, n, dim = 3, 150, 4          # 150 % 4 != 0
+    rng = np.random.default_rng(0)
+    samples = rng.normal(size=(B, n, dim)).astype(np.float32)
+    keys = np.stack([np.array([0, i], dtype=np.uint32) for i in range(B)])
+    masks = np.zeros((B, dim), dtype=bool)
+    cfg = NSFConfig(dim=dim, hidden_dim=4, num_knots=5)
+    tc = TrainConfig(max_iters=5, learning_rate=0.01)
+    params, loss, iters, mean, std = fit_flows_batched(
+        keys, samples, cfg, tc, masks, mesh=mesh)
+    assert np.all(np.isfinite(np.asarray(mean)))
+    assert np.asarray(mean).shape[0] == B
+
+
+def test_fit_flow_raw_fewer_samples_than_devices_replicates():
+    """n < device count must replicate, not truncate to an empty batch
+    that trains an all-NaN flow (regression: round-2 review)."""
+    mesh = make_mesh(n_clique=2, n_data=4)
+    rng = np.random.default_rng(1)
+    samples = rng.normal(size=(5, 4)).astype(np.float32)  # 5 < 8 devices
+    cfg = NSFConfig(dim=4, hidden_dim=4, num_knots=5)
+    tc = TrainConfig(max_iters=5, learning_rate=0.01)
+    params, loss, iters, mean, std = fit_flow_raw(
+        np.array([0, 3], dtype=np.uint32), samples, cfg, tc,
+        [False] * 4, mesh=mesh)
+    assert np.all(np.isfinite(np.asarray(mean)))
+    assert np.all(np.isfinite(np.asarray(std)))
