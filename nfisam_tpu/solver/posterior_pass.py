@@ -1,0 +1,215 @@
+"""Fused root-to-leaf posterior pass: the whole Bayes-tree conditional
+sampling sweep in a handful of compiled launches.
+
+The reference walks the tree on host and invokes each clique's flow
+separately (``sample_posterior`` FactorGraphSolver.py:497-550); the
+straight re-design (one compiled program per clique, solver.py:355) is
+still HOST-DISPATCH bound at scale: Plaza-scale trees are ~200-clique
+CHAINS (depth == #cliques, no level parallelism to exploit), and ~1.8 ms
+of per-clique dispatch adds up to ~0.4 s per step — ~20x the actual
+device time.
+
+Here the tree walk is compiled away: cliques are laid out topologically
+(parents first) over a single (n, D+1) sample buffer (one column per
+variable dim, plus a trash column), and every maximal run of cliques
+sharing one flow signature becomes ONE ``lax.scan`` whose per-step data
+(stacked flow params, normalizers, gather/scatter column maps, RNG keys)
+arrive as scan inputs:
+
+    step: gather separator columns -> build [obs | sep] prefix ->
+          normalize -> base draw -> masked AR inverse -> unnormalize ->
+          scatter frontal columns
+
+Plaza-scale trees bucket into ~2 signatures and ~3 runs, so the 199
+per-clique launches collapse to 3.  Scan lengths and the buffer width are
+padded (to multiples of 16 / 128) so incremental steps reuse a few
+compiled programs; pad steps scatter into the trash column.
+"""
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..flows.base_dist import BaseDistribution
+from ..flows.model import (CliqueFlowModel, normalize, unnormalize,
+                           _use_pallas_inverse)
+from ..flows.nsf import NSFConfig, stack_inverse_masked
+
+def _pow2_bucket(x: int, lo: int) -> int:
+    """Next power of two >= max(x, lo): scan lengths and buffer widths
+    grow monotonically over an incremental run, so linear padding grids
+    trigger a fresh (slow) scan compile every few steps — power-of-2
+    buckets bound the number of compiled variants to ~log of the final
+    problem size at <=2x padded work (pad steps are trash-writes)."""
+    b = lo
+    while b < x:
+        b *= 2
+    return b
+
+
+@lru_cache(maxsize=64)
+def _fused_chain_program(cfg: NSFConfig):
+    """One jitted scan program per flow signature; (L, n, D) variation is
+    handled by shape-keyed retraces (bounded by the padding grid)."""
+    base = BaseDistribution(cfg.circular_mask)
+    if _use_pallas_inverse(cfg):
+        from ..flows.ar_inverse_pallas import stack_inverse_masked_pallas
+        inverse_fn = stack_inverse_masked_pallas
+    else:
+        inverse_fn = stack_inverse_masked
+
+    @jax.jit
+    def run(buffer, stacked_params, mean, std, circ, prefix_src, obs_mask,
+            obs_vals, invert_mask, dst, keys):
+        n = buffer.shape[0]
+
+        def step(buf, xs):
+            (params_i, mean_i, std_i, circ_i, src_i, omask_i, ovals_i,
+             imask_i, dst_i, key_i) = xs
+            gathered = buf[:, jnp.clip(src_i, 0)]
+            prefix = jnp.where(
+                omask_i[None, :], ovals_i[None, :],
+                jnp.where(src_i[None, :] >= 0, gathered, 0.0))
+            x_prefix = normalize(prefix, mean_i, std_i, circ_i, 0)
+            x_prefix = jnp.where(imask_i[None, :], 0.0, x_prefix)
+            z = base.sample(key_i, n)
+            x_full = inverse_fn(params_i, z, x_prefix, imask_i, cfg)
+            x_out = unnormalize(x_full, mean_i, std_i, circ_i, 0)
+            buf = buf.at[:, dst_i].set(x_out)
+            return buf, None
+
+        xs = (stacked_params, mean, std, circ, prefix_src, obs_mask,
+              obs_vals, invert_mask, dst, keys)
+        buffer, _ = jax.lax.scan(step, buffer, xs)
+        return buffer
+
+    return run
+
+
+def _stack_tree(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def fused_posterior_enabled() -> bool:
+    env = os.environ.get("NFISAM_FUSED_POSTERIOR", "auto").lower()
+    if env in ("1", "true", "on"):
+        return True
+    if env in ("0", "false", "off"):
+        return False
+    return True
+
+
+def fused_sample_posterior(solver, num_samples: int
+                           ) -> Optional[Dict]:
+    """Run the fused pass over ``solver``'s physical tree.  Returns the
+    samples dict, or None if any clique's model is not a flow-backed
+    adapter (caller falls back to the per-clique path)."""
+    root = solver._physical_bayes_tree.root
+
+    # ---------------------------------------------------------- host walk
+    # topological clique order (parents before children) — same DFS the
+    # per-clique path uses, so RNG key consumption matches it exactly
+    topo = []
+    stack = [root]
+    while stack:
+        clique = stack.pop()
+        topo.append(clique)
+        stack.extend(clique.children)
+
+    specs = []
+    col_of: Dict = {}        # variable -> first global buffer column
+    D = 0
+    for clique in topo:
+        adapter = solver._clique_density_model.get(clique)
+        model = getattr(adapter, "model", None)
+        if not isinstance(model, CliqueFlowModel):
+            return None
+        frontal_list = sorted(
+            clique.frontal, key=lambda v: solver._reverse_ordering_map[v])
+        separator_list = sorted(
+            clique.separator, key=lambda v: solver._reverse_ordering_map[v])
+        for v in frontal_list:
+            col_of[v] = D
+            D += v.dim
+        obs = np.asarray(solver._clique_true_obs[clique],
+                         dtype=np.float32).reshape(-1)
+        specs.append((clique, model, obs, separator_list, frontal_list))
+
+    D_pad = _pow2_bucket(D + 1, 256)            # >= D+1 (trash at D_pad-1)
+    trash = D_pad - 1
+
+    # group maximal runs of identical flow signature
+    runs: List[List] = []
+    for spec in specs:
+        if runs and runs[-1][0][1].cfg == spec[1].cfg:
+            runs[-1].append(spec)
+        else:
+            runs.append([spec])
+
+    buffer = jnp.zeros((num_samples, D_pad), dtype=jnp.float32)
+    mesh = getattr(solver._args, "sample_mesh", None)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[-1]
+        if num_samples % mesh.shape[axis] == 0:
+            buffer = jax.device_put(buffer,
+                                    NamedSharding(mesh, P(axis, None)))
+
+    for run_specs in runs:
+        cfg = run_specs[0][1].cfg
+        dim = cfg.dim
+        L = len(run_specs)
+        L_pad = _pow2_bucket(L, 16)
+
+        params, means, stds, circs, keys = [], [], [], [], []
+        src = np.full((L_pad, dim), -1, dtype=np.int32)
+        omask = np.zeros((L_pad, dim), dtype=bool)
+        ovals = np.zeros((L_pad, dim), dtype=np.float32)
+        imask = np.ones((L_pad, dim), dtype=bool)
+        dst = np.full((L_pad, dim), trash, dtype=np.int32)
+
+        for i, (clique, model, obs, sep_list, frontal_list) in \
+                enumerate(run_specs):
+            o = len(obs)
+            omask[i, :o] = True
+            ovals[i, :o] = obs
+            c = o
+            for v in sep_list:
+                src[i, c:c + v.dim] = np.arange(col_of[v],
+                                                col_of[v] + v.dim)
+                c += v.dim
+            imask[i, :c] = False
+            for v in frontal_list:
+                dst[i, c:c + v.dim] = np.arange(col_of[v],
+                                                col_of[v] + v.dim)
+                c += v.dim
+            params.append(model.flow_params)
+            means.append(model.mean)
+            stds.append(model.std)
+            circs.append(model._mask)
+            keys.append(solver._next_key())
+        # pad steps recycle the last clique's params; all writes hit trash
+        for i in range(L, L_pad):
+            params.append(params[-1])
+            means.append(means[-1])
+            stds.append(stds[-1])
+            circs.append(circs[-1])
+            keys.append(solver._next_key())
+
+        program = _fused_chain_program(cfg)
+        buffer = program(buffer, _stack_tree(params), jnp.stack(means),
+                         jnp.stack(stds), jnp.stack(circs),
+                         jnp.asarray(src), jnp.asarray(omask),
+                         jnp.asarray(ovals), jnp.asarray(imask),
+                         jnp.asarray(dst), jnp.asarray(np.stack(keys)))
+
+    samples: Dict = {}
+    for clique, model, obs, sep_list, frontal_list in specs:
+        for v in frontal_list:
+            samples[v] = buffer[:, col_of[v]:col_of[v] + v.dim]
+    return samples

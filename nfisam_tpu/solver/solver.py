@@ -355,9 +355,22 @@ class FactorGraphSolver:
     def sample_posterior(self, timer: Optional[List[float]] = None
                          ) -> Dict[Variable, np.ndarray]:
         """Root->leaf conditional sampling pass (reference
-        ``sample_posterior`` FactorGraphSolver.py:497)."""
+        ``sample_posterior`` FactorGraphSolver.py:497).
+
+        Flow-backed trees run the FUSED pass (whole tree in a few scan
+        launches — ``posterior_pass.py``; Plaza-scale chains are
+        host-dispatch bound otherwise); anything else falls back to the
+        per-clique walk below."""
         num_samples = self._args.posterior_sample_num
         start = time.time()
+        from .posterior_pass import (fused_posterior_enabled,
+                                     fused_sample_posterior)
+        if fused_posterior_enabled():
+            fused = fused_sample_posterior(self, num_samples)
+            if fused is not None:
+                if timer is not None:
+                    timer.append(time.time() - start)
+                return fused
         stack = [self._physical_bayes_tree.root]
         samples: Dict[Variable, np.ndarray] = {}
         while stack:
