@@ -91,8 +91,16 @@ def _fused_chain_program(cfg: NSFConfig):
     return run
 
 
+# Stacking hundreds of small per-clique arrays with eager jnp.stack costs
+# ~300 dispatched ops per leaf (expand_dims per element + concatenate);
+# one jitted stack is a single dispatch (retraces cached per arity/shape).
+@jax.jit
+def _jstack(*xs):
+    return jnp.stack(xs)
+
+
 def _stack_tree(trees):
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+    return jax.tree_util.tree_map(lambda *xs: _jstack(*xs), *trees)
 
 
 def fused_posterior_enabled() -> bool:
@@ -166,7 +174,8 @@ def fused_sample_posterior(solver, num_samples: int
         L = len(run_specs)
         L_pad = _pow2_bucket(L, 16)
 
-        params, means, stds, circs, keys = [], [], [], [], []
+        params, means, stds, keys = [], [], [], []
+        circs = np.zeros((L_pad, dim), dtype=bool)
         src = np.full((L_pad, dim), -1, dtype=np.int32)
         omask = np.zeros((L_pad, dim), dtype=bool)
         ovals = np.zeros((L_pad, dim), dtype=np.float32)
@@ -191,19 +200,20 @@ def fused_sample_posterior(solver, num_samples: int
             params.append(model.flow_params)
             means.append(model.mean)
             stds.append(model.std)
-            circs.append(model._mask)
+            cl = model.circular_dim_list
+            circs[i, :len(cl)] = cl
             keys.append(solver._next_key())
         # pad steps recycle the last clique's params; all writes hit trash
         for i in range(L, L_pad):
             params.append(params[-1])
             means.append(means[-1])
             stds.append(stds[-1])
-            circs.append(circs[-1])
+            circs[i] = circs[L - 1]
             keys.append(solver._next_key())
 
         program = _fused_chain_program(cfg)
-        buffer = program(buffer, _stack_tree(params), jnp.stack(means),
-                         jnp.stack(stds), jnp.stack(circs),
+        buffer = program(buffer, _stack_tree(params), _jstack(*means),
+                         _jstack(*stds), jnp.asarray(circs),
                          jnp.asarray(src), jnp.asarray(omask),
                          jnp.asarray(ovals), jnp.asarray(imask),
                          jnp.asarray(dst), jnp.asarray(np.stack(keys)))

@@ -3,9 +3,9 @@
 knots 9, <=2000 iters, 2000 train samples, lr .01, pose_first, 1000
 posterior samples).  Covers Plaza1/Plaza2 and the ambiguous-DA variants.
 
-Usage: python scripts/plaza_family_run.py <dataset>   # plaza2 |
-       plaza1_ada0.4 | plaza1
-Writes /tmp/<dataset>_results.json.
+Usage: python scripts/plaza_family_run.py <dataset> [seed]
+       # dataset: plaza1 | plaza2 | plaza1_ada0.4
+Writes /tmp/<dataset>_results.json (or _seed{N} when a seed is given).
 """
 import json
 import os
@@ -27,8 +27,10 @@ from nfisam_tpu.parallel.scheduler import ParallelNFiSAM
 from nfisam_tpu.solver import NFiSAMArgs
 
 DATASET = sys.argv[1] if len(sys.argv) > 1 else "plaza2"
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 DATA = f"/root/repo/data/{DATASET}_factor_graph.fg"
-OUT = f"/tmp/{DATASET}_results.json"
+OUT = (f"/tmp/{DATASET}_results.json" if SEED == 0
+       else f"/tmp/{DATASET}_seed{SEED}_results.json")
 
 
 def main():
@@ -38,7 +40,7 @@ def main():
     args = NFiSAMArgs(posterior_sample_num=1000, local_sample_num=2000,
                       flow_iterations=2000, num_knots=9,
                       learning_rate=0.01, hidden_dim=8,
-                      elimination_method="pose_first", seed=0)
+                      elimination_method="pose_first", seed=SEED)
     solver = ParallelNFiSAM(args)
     step_times = []
     samples = None
