@@ -18,7 +18,9 @@ joint translation-dim MMD vs the committed dynesty posteriors
 (``journal_paper/case1/dyn1/step{0..3}.sample`` — steps 4-5 have no
 committed samples), 500-sample subsets, averaged over steps.  The same
 metric is computed for the reference's own run1 samples; the bench FAILS
-(exit 1) if our MMD exceeds 2x the reference's.
+(exit 1) if the MEDIAN of our MMD across the 3 steady-state solver seeds
+exceeds 2x the reference's (median because ring-mode commitment gives
+posterior accuracy genuine seed variance, and run1 is itself one draw).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
@@ -135,17 +137,21 @@ def main():
 
     t_warm, _, _ = solve_once(nodes, factors, seed=0)
     print(f"# warmup (incl. compile): {t_warm:.2f} s", file=sys.stderr)
+    # timing solves: pure speed, no per-step artifact fetches
     times = []
     samples = None
-    per_step = None
     for i, seed in enumerate((1, 2, 3)):
-        t, s, ps = solve_once(nodes, factors, seed=seed,
-                              collect_steps=(i == 0))
+        t, s, _ = solve_once(nodes, factors, seed=seed)
         print(f"# steady-state {i + 1}: {t:.2f} s", file=sys.stderr)
         times.append(t)
         if i == 0:
-            samples, per_step = s, ps
+            samples = s
     t_meas = float(np.median(times))
+
+    # accuracy solves (untimed): same seeds, per-step samples collected
+    per_step_by_seed = [
+        solve_once(nodes, factors, seed=seed, collect_steps=True)[2]
+        for seed in (1, 2, 3)]
 
     # sanity: posterior means near ground truth
     max_err = 0.0
@@ -157,10 +163,16 @@ def main():
     print(f"# max translation error of posterior means: {max_err:.2f} m",
           file=sys.stderr)
 
-    mmd_joint, ref_mmd_joint, per_ours, per_refs = accuracy_gate(per_step,
-                                                                 nodes)
-    print(f"# joint MMD vs dynesty per step {list(MMD_STEPS)}: "
-          f"ours {per_ours} reference-run1 {per_refs}", file=sys.stderr)
+    # gate on the MEDIAN MMD across the 3 solver seeds: posterior accuracy
+    # has genuine key-stream variance (landmark ring-mode commitment), and
+    # the reference's committed run1 is itself one draw — the median tests
+    # the solver's central accuracy while still flagging real regressions
+    gate_results = [accuracy_gate(ps, nodes) for ps in per_step_by_seed]
+    for (mj, rj, per_ours, per_refs), seed in zip(gate_results, (1, 2, 3)):
+        print(f"# seed {seed} joint MMD per step {list(MMD_STEPS)}: "
+              f"ours {per_ours} reference-run1 {per_refs}", file=sys.stderr)
+    med_idx = int(np.argsort([g[0] for g in gate_results])[1])
+    mmd_joint, ref_mmd_joint = gate_results[med_idx][:2]
     ok = mmd_joint <= MMD_GATE_FACTOR * ref_mmd_joint
 
     print(json.dumps({

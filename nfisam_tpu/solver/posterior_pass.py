@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..flows.base_dist import BaseDistribution
+from ..utils.keys import split_host
 from ..flows.model import (CliqueFlowModel, normalize, unnormalize,
                            _use_pallas_inverse)
 from ..flows.nsf import NSFConfig, stack_inverse_masked
@@ -203,13 +204,19 @@ def fused_sample_posterior(solver, num_samples: int
             cl = model.circular_dim_list
             circs[i, :len(cl)] = cl
             keys.append(solver._next_key())
-        # pad steps recycle the last clique's params; all writes hit trash
+        # pad steps recycle the last clique's params; all writes hit trash.
+        # Their keys derive from the last real key WITHOUT consuming the
+        # solver stream, so the fused pass consumes exactly the same key
+        # sequence as the per-clique walk (one per clique, topo order) and
+        # whole solves are key-for-key reproducible across both paths.
+        if L_pad > L:
+            pad_keys = split_host(keys[-1], L_pad - L)
         for i in range(L, L_pad):
             params.append(params[-1])
             means.append(means[-1])
             stds.append(stds[-1])
             circs[i] = circs[L - 1]
-            keys.append(solver._next_key())
+            keys.append(pad_keys[i - L])
 
         program = _fused_chain_program(cfg)
         buffer = program(buffer, _stack_tree(params), _jstack(*means),
