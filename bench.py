@@ -57,6 +57,7 @@ REF_DIR = os.path.join(HERE, "data", "case1_ref")
 MMD_STEPS = (0, 1, 2, 3)   # dyn1 ships posterior samples for these steps
 MMD_SUBSET = 500
 MMD_GATE_FACTOR = 2.0
+STEADY_SEEDS = (1, 2, 3)   # timing AND accuracy-gate solver seeds
 
 
 def solve_once(nodes, factors, seed, collect_steps=False):
@@ -140,7 +141,7 @@ def main():
     # timing solves: pure speed, no per-step artifact fetches
     times = []
     samples = None
-    for i, seed in enumerate((1, 2, 3)):
+    for i, seed in enumerate(STEADY_SEEDS):
         t, s, _ = solve_once(nodes, factors, seed=seed)
         print(f"# steady-state {i + 1}: {t:.2f} s", file=sys.stderr)
         times.append(t)
@@ -151,7 +152,7 @@ def main():
     # accuracy solves (untimed): same seeds, per-step samples collected
     per_step_by_seed = [
         solve_once(nodes, factors, seed=seed, collect_steps=True)[2]
-        for seed in (1, 2, 3)]
+        for seed in STEADY_SEEDS]
 
     # sanity: posterior means near ground truth
     max_err = 0.0
@@ -168,10 +169,12 @@ def main():
     # the reference's committed run1 is itself one draw — the median tests
     # the solver's central accuracy while still flagging real regressions
     gate_results = [accuracy_gate(ps, nodes) for ps in per_step_by_seed]
-    for (mj, rj, per_ours, per_refs), seed in zip(gate_results, (1, 2, 3)):
+    for (mj, rj, per_ours, per_refs), seed in zip(gate_results,
+                                                  STEADY_SEEDS):
         print(f"# seed {seed} joint MMD per step {list(MMD_STEPS)}: "
               f"ours {per_ours} reference-run1 {per_refs}", file=sys.stderr)
-    med_idx = int(np.argsort([g[0] for g in gate_results])[1])
+    med_idx = int(np.argsort([g[0] for g in gate_results])
+                  [len(STEADY_SEEDS) // 2])
     mmd_joint, ref_mmd_joint = gate_results[med_idx][:2]
     ok = mmd_joint <= MMD_GATE_FACTOR * ref_mmd_joint
 

@@ -114,6 +114,29 @@ def _use_pallas_inverse(cfg: NSFConfig) -> bool:
     return jax.default_backend() == "tpu" and cfg.dim <= 32
 
 
+def _select_inverse_fn(cfg: NSFConfig):
+    if _use_pallas_inverse(cfg):
+        from .ar_inverse_pallas import stack_inverse_masked_pallas
+        return stack_inverse_masked_pallas
+    return stack_inverse_masked
+
+
+def conditional_draw_core(flow_params, mean, std, circ_mask, key, prefix,
+                          invert_mask, cfg: NSFConfig,
+                          base: BaseDistribution, inverse_fn):
+    """One conditional draw: normalize the [obs | separator] prefix, mask
+    the dims to invert, draw the base, run the masked AR inverse,
+    unnormalize.  Shared by the per-clique program below and the fused
+    tree-sweep scan (``solver/posterior_pass.py``) so the two paths stay
+    bit-identical by construction."""
+    n = prefix.shape[0]
+    x_prefix = normalize(prefix, mean, std, circ_mask, 0)
+    x_prefix = jnp.where(invert_mask[None, :], 0.0, x_prefix)
+    z_full = base.sample(key, n)
+    x_full = inverse_fn(flow_params, z_full, x_prefix, invert_mask, cfg)
+    return unnormalize(x_full, mean, std, circ_mask, init_dim=0)
+
+
 @lru_cache(maxsize=64)
 def _conditional_sample_program(cfg: NSFConfig):
     """Width-agnostic conditional sampler: the separator split arrives as
@@ -121,23 +144,14 @@ def _conditional_sample_program(cfg: NSFConfig):
     flow config serves every clique (per-``sep_dim`` variants of the
     unrolled inverse were the dominant compile cost at Plaza scale)."""
     base = BaseDistribution(cfg.circular_mask)
-    if _use_pallas_inverse(cfg):
-        from .ar_inverse_pallas import stack_inverse_masked_pallas
-        inverse_fn = stack_inverse_masked_pallas
-    else:
-        inverse_fn = stack_inverse_masked
+    inverse_fn = _select_inverse_fn(cfg)
 
     @jax.jit
     def run(flow_params, mean, std, circ_mask, key, obs_full,
             invert_mask):
-        n = obs_full.shape[0]
-        x_prefix = normalize(obs_full, mean, std, circ_mask, 0)
-        x_prefix = jnp.where(invert_mask[None, :], 0.0, x_prefix)
-        z_full = base.sample(key, n)
-        x_full = inverse_fn(flow_params, z_full, x_prefix,
-                            invert_mask, cfg)
-        x_out = unnormalize(x_full, mean, std, circ_mask, init_dim=0)
-        return x_out
+        return conditional_draw_core(flow_params, mean, std, circ_mask,
+                                     key, obs_full, invert_mask, cfg,
+                                     base, inverse_fn)
 
     return run
 

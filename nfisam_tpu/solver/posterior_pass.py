@@ -37,10 +37,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..flows.base_dist import BaseDistribution
+from ..flows.model import (CliqueFlowModel, _select_inverse_fn,
+                           conditional_draw_core)
+from ..flows.nsf import NSFConfig
 from ..utils.keys import split_host
-from ..flows.model import (CliqueFlowModel, normalize, unnormalize,
-                           _use_pallas_inverse)
-from ..flows.nsf import NSFConfig, stack_inverse_masked
 
 def _pow2_bucket(x: int, lo: int) -> int:
     """Next power of two >= max(x, lo): scan lengths and buffer widths
@@ -59,16 +59,11 @@ def _fused_chain_program(cfg: NSFConfig):
     """One jitted scan program per flow signature; (L, n, D) variation is
     handled by shape-keyed retraces (bounded by the padding grid)."""
     base = BaseDistribution(cfg.circular_mask)
-    if _use_pallas_inverse(cfg):
-        from ..flows.ar_inverse_pallas import stack_inverse_masked_pallas
-        inverse_fn = stack_inverse_masked_pallas
-    else:
-        inverse_fn = stack_inverse_masked
+    inverse_fn = _select_inverse_fn(cfg)
 
     @jax.jit
     def run(buffer, stacked_params, mean, std, circ, prefix_src, obs_mask,
             obs_vals, invert_mask, dst, keys):
-        n = buffer.shape[0]
 
         def step(buf, xs):
             (params_i, mean_i, std_i, circ_i, src_i, omask_i, ovals_i,
@@ -77,11 +72,9 @@ def _fused_chain_program(cfg: NSFConfig):
             prefix = jnp.where(
                 omask_i[None, :], ovals_i[None, :],
                 jnp.where(src_i[None, :] >= 0, gathered, 0.0))
-            x_prefix = normalize(prefix, mean_i, std_i, circ_i, 0)
-            x_prefix = jnp.where(imask_i[None, :], 0.0, x_prefix)
-            z = base.sample(key_i, n)
-            x_full = inverse_fn(params_i, z, x_prefix, imask_i, cfg)
-            x_out = unnormalize(x_full, mean_i, std_i, circ_i, 0)
+            x_out = conditional_draw_core(params_i, mean_i, std_i, circ_i,
+                                          key_i, prefix, imask_i, cfg,
+                                          base, inverse_fn)
             buf = buf.at[:, dst_i].set(x_out)
             return buf, None
 
@@ -107,11 +100,13 @@ def _stack_tree(trees):
 
 def fused_posterior_enabled() -> bool:
     env = os.environ.get("NFISAM_FUSED_POSTERIOR", "auto").lower()
-    if env in ("1", "true", "on"):
+    if env in ("1", "true", "on", "auto"):
         return True
     if env in ("0", "false", "off"):
         return False
-    return True
+    raise ValueError(
+        f"NFISAM_FUSED_POSTERIOR={env!r}: use 1/true/on, 0/false/off, "
+        f"or auto")
 
 
 def fused_sample_posterior(solver, num_samples: int

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import time
 from dataclasses import asdict, dataclass
+from collections.abc import Mapping
 from typing import Dict, List, Optional
 
 import jax
@@ -353,9 +354,11 @@ class FactorGraphSolver:
         return samples, var_list, unused_obs
 
     def sample_posterior(self, timer: Optional[List[float]] = None
-                         ) -> Dict[Variable, np.ndarray]:
+                         ) -> Mapping:
         """Root->leaf conditional sampling pass (reference
-        ``sample_posterior`` FactorGraphSolver.py:497).
+        ``sample_posterior`` FactorGraphSolver.py:497).  Returns a
+        READ-ONLY mapping Variable -> (n, dim) device array (the fused
+        path returns lazy buffer views; copy before mutating).
 
         Flow-backed trees run the FUSED pass (whole tree in a few scan
         launches — ``posterior_pass.py``; Plaza-scale chains are

@@ -13,12 +13,14 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
 
@@ -30,7 +32,8 @@ CASE_DIR = "/tmp/manhattan_plaza"
 
 def main():
     os.makedirs(CASE_DIR, exist_ok=True)
-    shutil.copy("/root/repo/data/manhattan_plaza_factor_graph.fg",
+    shutil.copy(os.path.join(REPO, "data",
+                             "manhattan_plaza_factor_graph.fg"),
                 f"{CASE_DIR}/factor_graph.fg")
     t0 = time.time()
     run_dirs = nfisam_empirical_study(

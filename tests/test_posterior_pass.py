@@ -54,7 +54,17 @@ def test_fused_pass_engages_and_matches_perclique(solved, monkeypatch):
 
 
 def test_fused_pass_is_default(solved, monkeypatch):
+    from nfisam_tpu.solver.posterior_pass import LazySamples
     monkeypatch.delenv("NFISAM_FUSED_POSTERIOR", raising=False)
     s = solved
     out = s.sample_posterior()
+    # the fused path must actually engage (not silently fall back)
+    assert isinstance(out, LazySamples)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in out.values())
+
+
+def test_fused_env_validation(monkeypatch):
+    from nfisam_tpu.solver.posterior_pass import fused_posterior_enabled
+    monkeypatch.setenv("NFISAM_FUSED_POSTERIOR", "disabled")
+    with pytest.raises(ValueError):
+        fused_posterior_enabled()
