@@ -60,7 +60,8 @@ MMD_GATE_FACTOR = 2.0
 STEADY_SEEDS = (1, 2, 3)   # timing AND accuracy-gate solver seeds
 
 
-def solve_once(nodes, factors, seed, collect_steps=False):
+def solve_once(nodes, factors, seed, collect_steps=False,
+               return_solver=False):
     batches = group_nodes_factors_incrementally(nodes, factors,
                                                 incremental_step=1)
     args = NFiSAMArgs(posterior_sample_num=1000, local_sample_num=2000,
@@ -86,6 +87,8 @@ def solve_once(nodes, factors, seed, collect_steps=False):
     # force completion of any async device work
     for v, s in samples.items():
         np.asarray(s)
+    if return_solver:
+        return time.time() - t0, samples, per_step, solver
     return time.time() - t0, samples, per_step
 
 
@@ -132,12 +135,87 @@ def accuracy_gate(per_step, nodes):
         [round(x, 4) for x in ours], [round(x, 4) for x in refs]
 
 
+def pallas_equivalence_check(solver):
+    """On-hardware gate: the fused Pallas AR-inverse must invert REAL
+    trained clique flows as faithfully as the XLA path (interpret-mode CI
+    tests can't see Mosaic/runtime regressions; this runs on the TPU the
+    bench measures).
+
+    The metric is the z-space roundtrip residual |forward(inverse(z)) - z|:
+    trained splines are sharp, so an x-space atol conflates numerics with
+    inverse conditioning (d x/d z can be >1e3 where the spline saturates),
+    while the roundtrip residual measures exactly "does the kernel solve
+    the same equation", and any real corruption (wrong bin, wrong mask,
+    runtime miscompile) produces O(1) residuals.  Gate: pallas residual
+    <= max(4x the XLA path's own residual, 1e-3).  Returns
+    (pallas_resid, xla_resid) or None off-TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from nfisam_tpu.flows.ar_inverse_pallas import stack_inverse_masked_pallas
+    from nfisam_tpu.flows.model import CliqueFlowModel
+    from nfisam_tpu.flows.nsf import stack_forward, stack_inverse_masked
+    if jax.default_backend() != "tpu":
+        return None
+    worst_p, worst_x = 0.0, 0.0
+    checked = 0
+    for adapter in solver._clique_density_model.values():
+        model = getattr(adapter, "model", None)
+        if not isinstance(model, CliqueFlowModel):
+            continue
+        cfg = model.cfg
+        if cfg.num_flows != 1:
+            # the roundtrip identity below only holds per flow; the bench
+            # config uses a single flow
+            continue
+        rng = np.random.default_rng(0)
+        z = jnp.asarray(rng.normal(size=(256, cfg.dim)).astype(np.float32))
+        prefix = jnp.zeros((256, cfg.dim), jnp.float32)
+        # exercise a real separator split: pin the first 2 columns
+        invert = np.arange(cfg.dim) >= 2
+        inv_j = jnp.asarray(invert)
+        x_p = stack_inverse_masked_pallas(model.flow_params, z, prefix,
+                                          inv_j, cfg)
+        x_x = stack_inverse_masked(model.flow_params, z, prefix, inv_j, cfg)
+        z_p, _ = stack_forward(model.flow_params, x_p, cfg)
+        z_x, _ = stack_forward(model.flow_params, x_x, cfg)
+        dz_p = np.abs(np.asarray(z_p) - np.asarray(z))[:, invert]
+        dz_x = np.abs(np.asarray(z_x) - np.asarray(z))[:, invert]
+        worst_p = max(worst_p, float(dz_p.max()))
+        worst_x = max(worst_x, float(dz_x.max()))
+        checked += 1
+        if checked >= 3:
+            break
+    return (worst_p, worst_x) if checked else None
+
+
 def main():
     fg = FG if os.path.exists(FG) else LOCAL_FG
     nodes, truth, factors = graph_file_parser(fg, "fg")
 
-    t_warm, _, _ = solve_once(nodes, factors, seed=0)
+    # device bring-up (tunnel/libtpu init) is environment, not framework
+    # cold start — time it separately so warmup_s is attributable
+    t0 = time.time()
+    np.asarray(jax.jit(lambda x: x + 1)(np.zeros(8, np.float32)))
+    t_init = time.time() - t0
+    print(f"# tpu init (first device contact): {t_init:.2f} s",
+          file=sys.stderr)
+
+    t_warm, _, _, warm_solver = solve_once(nodes, factors, seed=0,
+                                           return_solver=True)
     print(f"# warmup (incl. compile): {t_warm:.2f} s", file=sys.stderr)
+
+    pallas_res = pallas_equivalence_check(warm_solver)
+    pallas_err = None
+    if pallas_res is not None:
+        pallas_err, xla_err = pallas_res
+        print(f"# inverse roundtrip residual |f(f^-1(z)) - z| on trained "
+              f"cliques: pallas {pallas_err:.2e}, xla {xla_err:.2e}",
+              file=sys.stderr)
+        if not pallas_err <= max(4.0 * xla_err, 1e-3):
+            print("# PALLAS EQUIVALENCE FAILED on real hardware",
+                  file=sys.stderr)
+            sys.exit(1)
     # timing solves: pure speed, no per-step artifact fetches
     times = []
     samples = None
@@ -178,15 +256,20 @@ def main():
     mmd_joint, ref_mmd_joint = gate_results[med_idx][:2]
     ok = mmd_joint <= MMD_GATE_FACTOR * ref_mmd_joint
 
-    print(json.dumps({
+    out = {
         "metric": "case1_incremental_total_wall_s",
         "value": round(t_meas, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_TOTAL_S / t_meas, 2),
+        "warmup_s": round(t_warm, 2),
+        "tpu_init_s": round(t_init, 2),
         "mmd_joint": round(mmd_joint, 4),
         "ref_mmd_joint": round(ref_mmd_joint, 4),
         "accuracy_ok": bool(ok),
-    }))
+    }
+    if pallas_err is not None:
+        out["pallas_roundtrip_resid"] = round(pallas_err, 8)
+    print(json.dumps(out))
     if not ok:
         print(f"# ACCURACY GATE FAILED: joint MMD {mmd_joint:.4f} > "
               f"{MMD_GATE_FACTOR}x reference {ref_mmd_joint:.4f}",

@@ -348,6 +348,14 @@ def kde_contour(ax, xy: np.ndarray, levels: Sequence[float] = (0.68, 0.95),
     thresholds = sorted(
         float(zs[min(np.searchsorted(cz, m), len(zs) - 1)])
         for m in levels)
+    # tight/small clouds can map nearby mass levels onto one density
+    # threshold; matplotlib requires strictly increasing contour levels
+    strict = []
+    for t in thresholds:
+        if strict and t <= strict[-1]:
+            t = strict[-1] + max(abs(strict[-1]), 1e-12) * 1e-6
+        strict.append(t)
+    thresholds = strict
     if filled:
         return ax.contourf(XX, YY, Z, levels=thresholds + [Z.max() + 1e-30],
                            **kwargs)

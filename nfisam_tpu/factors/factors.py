@@ -53,6 +53,25 @@ def register_factor(cls):
     return cls
 
 
+class UnknownVariableError(KeyError):
+    """A factor line references a variable that has not been declared.
+
+    Distinct from KeyError so the ``.fg`` reader can report the
+    declare-Variables-before-Factors hint ONLY for this case instead of
+    swallowing every KeyError raised during factor construction."""
+
+
+class _NameLookup(dict):
+    """name -> Variable map that raises UnknownVariableError on misses."""
+
+    def __missing__(self, key):
+        raise UnknownVariableError(key)
+
+
+def vars_by_name(variables: Iterable[Variable]) -> "_NameLookup":
+    return _NameLookup({v.name: v for v in variables})
+
+
 # ==========================================================================
 # Base protocol
 # ==========================================================================
@@ -236,7 +255,7 @@ class UnaryR2GaussianPriorFactor(PriorFactor, UnaryFactor):
     def construct_from_text(cls, line, variables):
         tok = line.strip().split()
         assert tok[0] == cls.__name__
-        n2v = {v.name: v for v in variables}
+        n2v = vars_by_name(variables)
         var = n2v[tok[1]]
         mu = np.array([float(tok[2]), float(tok[3])])
         key = tok[4]
@@ -347,7 +366,7 @@ class UnaryR2RangeGaussianPriorFactor(PriorFactor, UnaryFactor):
     def construct_from_text(cls, line, variables):
         tok = line.strip().split()
         assert tok[0] == cls.__name__
-        n2v = {v.name: v for v in variables}
+        n2v = vars_by_name(variables)
         # grammar: <name> center: cx cy mu: m sigma s  (tolerate bare floats)
         vals = [t for t in tok[2:] if not t.endswith(":") and
                 t not in ("sigma", "center", "mu")]
@@ -467,7 +486,7 @@ class UnarySE2ApproximateGaussianPriorFactor(PriorFactor, UnaryFactor):
     def construct_from_text(cls, line, variables):
         tok = line.strip().split()
         assert tok[0] == cls.__name__
-        n2v = {v.name: v for v in variables}
+        n2v = vars_by_name(variables)
         pose = np.array([float(tok[2]), float(tok[3]), float(tok[4])])
         mat = np.array([float(t) for t in tok[6:15]]).reshape(3, 3)
         if tok[5] == "covariance":
@@ -633,7 +652,7 @@ class R2RelativeGaussianLikelihoodFactor(LikelihoodFactor, BinaryFactor):
     def construct_from_text(cls, line, variables):
         tok = line.strip().split()
         assert tok[0] == cls.__name__
-        n2v = {v.name: v for v in variables}
+        n2v = vars_by_name(variables)
         obs = np.array([float(tok[3]), float(tok[4])])
         mat = np.array([[float(tok[6]), float(tok[7])],
                         [float(tok[8]), float(tok[9])]])
@@ -795,7 +814,7 @@ class SE2RelativeGaussianLikelihoodFactor(LikelihoodFactor, BinaryFactor):
     def construct_from_text(cls, line, variables):
         tok = line.strip().split()
         assert tok[0] == cls.__name__
-        n2v = {v.name: v for v in variables}
+        n2v = vars_by_name(variables)
         obs = np.array([float(tok[3]), float(tok[4]), float(tok[5])])
         mat = np.array([float(t) for t in tok[7:16]]).reshape(3, 3)
         if tok[6] == "information":
@@ -972,7 +991,7 @@ class SE2BearingLikelihoodFactor(LikelihoodFactor, BinaryFactor):
     def construct_from_text(cls, line, variables):
         tok = line.strip().split()
         assert tok[0] == cls.__name__
-        n2v = {v.name: v for v in variables}
+        n2v = vars_by_name(variables)
         args = [n2v[tok[1]], n2v[tok[2]], float(tok[3]), float(tok[4])]
         extras = [float(t) for t in tok[5:7]]
         return cls(*args, *extras)
@@ -1096,7 +1115,7 @@ class _RangeFactorBase(LikelihoodFactor, BinaryFactor):
     def construct_from_text(cls, line, variables):
         tok = line.strip().split()
         assert tok[0] == cls.__name__
-        n2v = {v.name: v for v in variables}
+        n2v = vars_by_name(variables)
         return cls(n2v[tok[1]], n2v[tok[2]], float(tok[3]), float(tok[4]))
 
 
@@ -1172,6 +1191,6 @@ class UncertainR2RangeGaussianLikelihoodFactor(_RangeFactorBase):
     def construct_from_text(cls, line, variables):
         tok = line.strip().split()
         assert tok[0] == cls.__name__
-        n2v = {v.name: v for v in variables}
+        n2v = vars_by_name(variables)
         return cls(n2v[tok[1]], n2v[tok[2]], float(tok[3]), float(tok[4]),
                    bool(int(tok[5])), float(tok[6]))

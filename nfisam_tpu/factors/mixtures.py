@@ -175,7 +175,8 @@ class BinaryFactorMixture(LikelihoodFactor):
 
     @staticmethod
     def _parse_common(tok: List[str], variables: Iterable[Variable]):
-        n2v = {v.name: v for v in variables}
+        from .factors import vars_by_name
+        n2v = vars_by_name(variables)
         i_obsr = tok.index("Observer") + 1
         i_obsd = tok.index("Observed") + 1
         i_w = tok.index("Weights") + 1

@@ -133,12 +133,19 @@ class BayesTree:
 
     def clique_ordering(self) -> List[CliqueNode]:
         """BFS root-first; callers pop() for leaves-first training
-        (reference ``clique_ordering`` BayesTree.py:375)."""
+        (reference ``clique_ordering`` BayesTree.py:375).
+
+        Children are visited in canonical (sorted-name) order:
+        ``children`` is a set hashed on variable NAMES, so raw iteration
+        order varies with PYTHONHASHSEED — a solve must assign the same
+        RNG keys to the same cliques in every process for the multi-host
+        scheduler (parallel/multihost.py) to be replicated-deterministic.
+        """
         order, queue = [], [self.root]
         while queue:
             c = queue.pop(0)
             order.append(c)
-            queue.extend(c.children)
+            queue.extend(sorted(c.children, key=str))
         return order
 
     # -------------------------------------------------------- construction
@@ -146,8 +153,14 @@ class BayesTree:
                        parents: Set[Variable]) -> "BayesTree":
         """Place a frontal whose Bayes-net parents are ``parents``: merged
         into a clique whose vars equal the parents, else a new child of any
-        clique containing them (reference ``add_node`` BayesTree.py:215)."""
-        for clique in self.clique_nodes:
+        clique containing them (reference ``add_node`` BayesTree.py:215).
+
+        Candidates are scanned in canonical BFS order: several cliques may
+        contain the parents, and the attachment choice fixes the tree
+        SHAPE — set iteration here made tree structure (and thus wave
+        widths, compiled shapes, and RNG assignment) vary with
+        PYTHONHASHSEED across processes."""
+        for clique in self.clique_ordering():
             if parents.issubset(clique.vars):
                 if len(parents) == clique.num_vars:
                     clique.frontal.add(frontal)
@@ -167,8 +180,10 @@ class BayesTree:
     # ---------------------------------------------------------- increments
     def graft_subtree(self, subtree: "BayesTree") -> "BayesTree":
         """Re-attach a detached subtree where its root separator fits
-        (reference ``append_child_bayes_tree`` BayesTree.py:292)."""
-        for attach_point in self.clique_nodes:
+        (reference ``append_child_bayes_tree`` BayesTree.py:292).
+        Canonical BFS scan for the same determinism reasons as
+        ``insert_frontal``."""
+        for attach_point in self.clique_ordering():
             if subtree.root.separator.issubset(attach_point.vars):
                 attach_point.attach_child(subtree.root)
                 break

@@ -11,7 +11,7 @@ from typing import Dict, Iterable, List, Tuple
 import numpy as np
 
 from ..core.variables import Variable
-from ..factors.factors import Factor
+from ..factors.factors import Factor, UnknownVariableError
 
 
 def read_variable_and_truth_from_line(line: str) -> Tuple[Variable,
@@ -70,12 +70,12 @@ def read_factor_graph_from_file(file_name: str) -> Tuple[
                 elif tok[0] == "Factor":
                     factors.append(Factor.construct_from_text(line,
                                                               variables))
-            except KeyError as e:
+            except UnknownVariableError as e:
                 raise ValueError(
                     f"{file_name}:{line_no}: factor references unknown "
                     f"variable {e} (declare Variables before Factors): "
                     f"{line.strip()!r}") from e
-            except (ValueError, IndexError) as e:
+            except (KeyError, ValueError, IndexError) as e:
                 raise ValueError(
                     f"{file_name}:{line_no}: malformed line "
                     f"{line.strip()!r}: {e}") from e

@@ -50,7 +50,15 @@ def wavefronts(clique_ordering: List[CliqueNode],
 
 
 class ParallelNFiSAM(NFiSAM):
-    """NF-iSAM with wavefront-parallel clique training."""
+    """NF-iSAM with wavefront-parallel clique training.
+
+    ``host_trained_cliques`` records which cliques THIS process actually
+    trained when multi-host bucket chunking is active (observability for
+    the ≥2-host dryrun/tests; empty in single-process runs)."""
+
+    def __init__(self, args=None):
+        super().__init__(args=args)
+        self.host_trained_cliques: List[str] = []
 
     def fit_tree_density_models(self, timer: Optional[List[float]] = None,
                                 clique_dim_timer: Optional[List] = None,
@@ -125,10 +133,25 @@ class ParallelNFiSAM(NFiSAM):
                     masks = np.stack(
                         [np.asarray(c + [False] * pd, dtype=bool)
                          for (_, _, _, c, pd) in items])
-                    p_s, il_s, t_s, m_s, s_s = fit_flows_batched(
-                        keys, samples_stack, cfg, tc, masks,
-                        scale_circular=scale_circ,
-                        mesh=self._args.data_parallel_mesh)
+                    from .multihost import (host_parallel_enabled,
+                                            train_chunked)
+                    if host_parallel_enabled(self._args):
+                        # split the clique axis into contiguous per-process
+                        # chunks; trained stacks reassemble via one DCN
+                        # allgather (parallel/multihost.py)
+                        (p_s, il_s, t_s, m_s, s_s), trained_idx = \
+                            train_chunked(
+                                keys, samples_stack, cfg, tc, masks,
+                                scale_circular=scale_circ,
+                                mesh=self._args.data_parallel_mesh)
+                        self.host_trained_cliques.extend(
+                            "".join(str(v.name) for v in items[i][0].vars)
+                            for i in trained_idx)
+                    else:
+                        p_s, il_s, t_s, m_s, s_s = fit_flows_batched(
+                            keys, samples_stack, cfg, tc, masks,
+                            scale_circular=scale_circ,
+                            mesh=self._args.data_parallel_mesh)
                     stacked = []
                     for b, (clique, _, var_ordering, _, pad) in \
                             enumerate(items):

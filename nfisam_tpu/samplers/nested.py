@@ -46,6 +46,9 @@ from ..utils.keys import split_host
 from .joint import StructuredJointFactor
 
 
+PROPOSALS = ("rslice", "rwalk", "grad")
+
+
 @dataclass(frozen=True)
 class NestedConfig:
     n_live: int = 1000
@@ -55,7 +58,13 @@ class NestedConfig:
     max_shrink: int = 64           # shrinkage cap per slice
     max_iters: int = 4000
     dlogz: float = 0.05
-    proposal: str = "rslice"       # rslice | rwalk
+    proposal: str = "rslice"       # rslice | rwalk | grad
+
+    def __post_init__(self):
+        if self.proposal not in PROPOSALS:
+            raise ValueError(
+                f"NestedConfig.proposal={self.proposal!r}: "
+                f"expected one of {PROPOSALS}")
 
 
 def _reflect_unit(u: jax.Array) -> jax.Array:
@@ -352,8 +361,13 @@ def dynamic_nested_sample(key, ptform: Callable, loglike: Callable,
         reps = np.resize(ok, batch_live)
         u0 = jnp.asarray(np.asarray(u_cand)[reps])
         l0 = jnp.asarray(l_cand[reps], jnp.float32)
+        # duplicated seeds violate the i.i.d.-birth assumption of the
+        # birth-death estimator: scale the slice decorrelation with the
+        # duplication factor so heavily-recycled batches still mix
+        dup = -(-batch_live // len(ok))
+        decorrelate = cfg.slices * min(dup, 8)
         u0, l0, nc = _rslice_replace(k2, u0, l0, jnp.float32(L_lo),
-                                     ptform, loglike, cfg.slices,
+                                     ptform, loglike, decorrelate,
                                      cfg.max_shrink)
         brun = _run_ns(k3, ptform, loglike, dim, bcfg,
                        init_U=u0, init_L=l0, L_birth0=L_lo,

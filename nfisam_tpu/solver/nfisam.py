@@ -44,10 +44,17 @@ class NFiSAMArgs(SolverArgs):
     # TPU extensions
     data_parallel_mesh: Optional[object] = None   # jax.sharding.Mesh
     sample_mesh: Optional[object] = None          # shard posterior draws
+    # multi-host clique chunking over DCN (parallel/multihost.py):
+    # "auto" = on when jax.process_count() > 1
+    host_parallel: object = "auto"
     checkpoint_dir: Optional[str] = None          # persist clique models
-    # pad clique dims up to a multiple of this so large graphs hit only a
-    # handful of compiled signatures (0/1 disables; SURVEY §7.3 item 3)
-    pad_dim_multiple: int = 4
+    # clique-dim bucketing (SURVEY §7.3 item 3): 0 (default) pads every
+    # clique up to the next power of two >= ``dim_bucket_floor`` so a whole
+    # solve typically hits ONE flow signature (one trainer + one fused-pass
+    # + one conditional-sample compile, prewarmable at solver start);
+    # a positive value pads to that multiple instead (legacy behavior)
+    pad_dim_multiple: int = 0
+    dim_bucket_floor: int = 16
 
     def json_str(self) -> str:
         d = {k: v for k, v in self.__dict__.items()
@@ -214,6 +221,10 @@ class NFiSAM(FactorGraphSolver):
         if self._args.checkpoint_dir is not None:
             from .checkpoint import CliqueModelStore
             self._model_store = CliqueModelStore(self._args.checkpoint_dir)
+        # cold-start: compile the expected program set in background threads
+        # while the caller is still building the graph (train/prewarm.py)
+        from ..train.prewarm import prewarm_solver_programs
+        prewarm_solver_programs(self._args)
 
     def _clique_signature(self, clique):
         from .checkpoint import clique_signature
@@ -255,13 +266,27 @@ class NFiSAM(FactorGraphSolver):
                          hidden_dim=self._args.hidden_dim,
                          num_flows=self._args.flow_number, circular=circ)
 
+    def _dim_bucket(self, aug_dim: int) -> int:
+        """Bucketed flow dim for a clique of ``aug_dim`` columns."""
+        mult = int(self._args.pad_dim_multiple or 0)
+        if mult > 1:
+            return -(-aug_dim // mult) * mult
+        b = max(int(getattr(self._args, "dim_bucket_floor", 16) or 16), 2)
+        while b < aug_dim:
+            b *= 2
+        return b
+
     def _pad_samples(self, samples, circular_dim_list):
         """Pad trailing dummy N(0,1) columns so the flow dim lands on a
         bucket boundary; the AR structure keeps real dims unaffected."""
-        mult = max(int(self._args.pad_dim_multiple or 1), 1)
         aug_dim = samples.shape[-1]
-        padded = -(-aug_dim // mult) * mult
+        padded = self._dim_bucket(aug_dim)
         pad = padded - aug_dim
+        # a clique outgrew the prewarmed floor bucket: fire warmers for the
+        # new bucket now (posterior/conditional programs are needed later
+        # this step, so the compile overlaps the imminent training call)
+        from ..train.prewarm import prewarm_solver_programs
+        prewarm_solver_programs(self._args, dims=(padded,))
         if pad:
             key = self._next_key()
             rng = np.random.default_rng(int(key[1]))

@@ -118,13 +118,14 @@ def fused_sample_posterior(solver, num_samples: int
 
     # ---------------------------------------------------------- host walk
     # topological clique order (parents before children) — same DFS the
-    # per-clique path uses, so RNG key consumption matches it exactly
+    # per-clique path uses, so RNG key consumption matches it exactly;
+    # children sorted canonically (hash-seed-independent, multi-host safe)
     topo = []
     stack = [root]
     while stack:
         clique = stack.pop()
         topo.append(clique)
-        stack.extend(clique.children)
+        stack.extend(sorted(clique.children, key=str))
 
     specs = []
     col_of: Dict = {}        # variable -> first global buffer column

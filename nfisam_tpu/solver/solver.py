@@ -166,9 +166,14 @@ class FactorGraphSolver:
         if self._physical_bayes_tree is not None:
             affected, sub_trees = \
                 self._physical_bayes_tree.prune_affected(touched)
+            # canonical subtree order: prune_affected returns a SET, and
+            # the order decides separator-prior factor order in the working
+            # graph (=> simulation schedules, RNG assignment) — sort so
+            # every process of a multi-host run stays in lockstep
+            sub_trees = sorted(sub_trees, key=lambda t: str(t.root))
             self._working_graph = \
                 self._physical_graph.subgraph_with_separator_priors(
-                    affected, list(sub_trees), self._implicit_factors)
+                    affected, sub_trees, self._implicit_factors)
         else:
             sub_trees = set()
             self._working_graph = FactorGraph()
@@ -217,7 +222,10 @@ class FactorGraphSolver:
             by_vars[frozenset(nc.vars)] = nc
         old_pos = {v: i for i, v in enumerate(old_ordering)}
         new_pos = {v: i for i, v in enumerate(self._elimination_ordering)}
-        for old_clique in stale:
+        # canonical order: recycling emits separator factors into the
+        # working graph, so set-iteration order here would leak
+        # PYTHONHASHSEED into factor order (multi-host determinism)
+        for old_clique in sorted(stale, key=str):
             new_clique = by_vars.get(frozenset(old_clique.vars))
             if new_clique is None:
                 continue
@@ -410,7 +418,9 @@ class FactorGraphSolver:
             for v in frontal_list:
                 samples[v] = frontal[:, cur:cur + v.dim]
                 cur += v.dim
-            stack.extend(clique.children)
+            # canonical child order: key consumption must match the fused
+            # pass and be hash-seed-independent (multi-host determinism)
+            stack.extend(sorted(clique.children, key=str))
         if timer is not None:
             timer.append(time.time() - start)
         return samples

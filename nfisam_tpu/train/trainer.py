@@ -220,7 +220,13 @@ def fit_flows_batched(keys, samples_stack, cfg: NSFConfig, tc: TrainConfig,
     keys = jnp.asarray(keys)
     masks = jnp.asarray(np.asarray(circ_masks, dtype=bool))
     B, n = samples_stack.shape[0], samples_stack.shape[1]
-    pad_b = 0
+    # pad the clique axis to a power of two so wave widths (which vary
+    # freely across incremental steps) hit a log-bounded set of compiled
+    # programs; padded rows repeat the last clique and are discarded
+    B_pad = 1
+    while B_pad < B:
+        B_pad *= 2
+    n_clique = 1
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         n_clique = mesh.shape.get("clique", 1)
@@ -233,15 +239,17 @@ def fit_flows_batched(keys, samples_stack, cfg: NSFConfig, tc: TrainConfig,
         elif keep_n != n:
             samples_stack = samples_stack[:, :keep_n]
             n = keep_n
-        pad_b = (-B) % n_clique
-        if pad_b:
-            rep = (pad_b,) + (1,) * (samples_stack.ndim - 1)
-            samples_stack = jnp.concatenate(
-                [samples_stack, jnp.tile(samples_stack[-1:], rep)], axis=0)
-            keys = jnp.concatenate([keys, jnp.tile(keys[-1:], (pad_b, 1))],
-                                   axis=0)
-            masks = jnp.concatenate(
-                [masks, jnp.tile(masks[-1:], (pad_b, 1))], axis=0)
+        B_pad += (-B_pad) % n_clique
+    pad_b = B_pad - B
+    if pad_b:
+        rep = (pad_b,) + (1,) * (samples_stack.ndim - 1)
+        samples_stack = jnp.concatenate(
+            [samples_stack, jnp.tile(samples_stack[-1:], rep)], axis=0)
+        keys = jnp.concatenate([keys, jnp.tile(keys[-1:], (pad_b, 1))],
+                               axis=0)
+        masks = jnp.concatenate(
+            [masks, jnp.tile(masks[-1:], (pad_b, 1))], axis=0)
+    if mesh is not None:
         samples_stack = jax.device_put(
             samples_stack,
             NamedSharding(mesh, P("clique",
@@ -249,7 +257,7 @@ def fit_flows_batched(keys, samples_stack, cfg: NSFConfig, tc: TrainConfig,
         keys = jax.device_put(keys, NamedSharding(mesh, P("clique", None)))
         masks = jax.device_put(masks, NamedSharding(mesh, P("clique", None)))
     program = _cached_batched_program(cfg, tc, scale_circular,
-                                      int(n), int(B + pad_b))
+                                      int(n), int(B_pad))
     out = program(keys, samples_stack, masks)
     if pad_b:
         out = jax.tree_util.tree_map(lambda x: x[:B], out)
