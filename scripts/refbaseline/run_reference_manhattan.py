@@ -22,10 +22,21 @@ import numpy as np  # noqa: E402
 
 CASE_DIR = ("/root/reference/example/slam/manhattan_world_with_range/"
             "lawnmower_4x4/res/seed1/pada0.4_r2_odom0.01_mada3")
-OUT = "/tmp/ref_manhattan_baseline.json"
+# --seed N: seed the reference's GLOBAL torch/numpy RNGs (the reference has
+# no explicit key plumbing — SURVEY §7.3 item 8) so its run-to-run accuracy
+# spread can be measured; output lands in a per-seed file.
+SEED = None
+if "--seed" in sys.argv:
+    SEED = int(sys.argv[sys.argv.index("--seed") + 1])
+OUT = ("/tmp/ref_manhattan_baseline.json" if SEED is None
+       else f"/tmp/ref_manhattan_seed{SEED}.json")
 
 
 def main():
+    if SEED is not None:
+        import torch
+        np.random.seed(SEED)
+        torch.manual_seed(SEED)
     from slam.NFiSAM import NFiSAM, NFiSAMArgs
     from slam.RunBatch import graph_file_parser, \
         group_nodes_factors_incrementally

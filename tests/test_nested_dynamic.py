@@ -34,7 +34,7 @@ def loglike(x):
             - 0.5 * D * jnp.log(2 * jnp.pi * S ** 2))
 
 
-@pytest.mark.parametrize("proposal", ["rslice", "rwalk"])
+@pytest.mark.parametrize("proposal", ["rslice", "rwalk", "grad"])
 def test_static_ns_matches_analytic_evidence(proposal):
     cfg = NestedConfig(n_live=400, replace_batch=10, proposal=proposal,
                        max_iters=2500)
@@ -45,6 +45,51 @@ def test_static_ns_matches_analytic_evidence(proposal):
     assert np.all(np.abs(samples.mean(0) - POST_MU) < 4 * POST_SD /
                   np.sqrt(len(samples) / 20))
     assert summ["ncall"] > 0 and summ["logzerr"] > 0
+
+
+def test_dynamic_ns_unbiased_on_closed_form_graph_evidence():
+    """Round-2 VERDICT item 4: dynamic-mode logz vs an EXACT evidence on a
+    linear-Gaussian displacement GRAPH through the real factor/joint path
+    (not a toy ptform).  The round-2 +2.2-sigma bias came from
+    under-decorrelated injected-batch seeds; with duplication-scaled
+    decorrelation the mean bias over seeds must sit within the combined
+    standard error."""
+    from nfisam_tpu.core import R2Variable, VariableType
+    from nfisam_tpu.eval.metrics import gaussian_displacement_graph_evidence
+    from nfisam_tpu.factors import (R2RelativeGaussianLikelihoodFactor,
+                                    UnaryR2GaussianPriorFactor)
+    from nfisam_tpu.samplers import GlobalNestedSampler
+
+    xs = [R2Variable(f"X{i}", VariableType.Pose) for i in range(4)]
+    cov = np.eye(2) * 0.3
+    fs = [UnaryR2GaussianPriorFactor(xs[0], np.zeros(2), np.eye(2))]
+    for a, b, d in ((0, 1, [1.0, 0.2]), (1, 2, [0.8, -0.4]),
+                    (2, 3, [-0.1, 1.1])):
+        fs.append(R2RelativeGaussianLikelihoodFactor(
+            xs[a], xs[b], np.array(d), cov))
+    # loop closures -> non-tree likelihood factors (evidence is nontrivial)
+    fs.append(R2RelativeGaussianLikelihoodFactor(
+        xs[0], xs[2], np.array([1.9, -0.1]), cov))
+    fs.append(R2RelativeGaussianLikelihoodFactor(
+        xs[1], xs[3], np.array([0.6, 0.6]), cov))
+
+    sampler = GlobalNestedSampler(nodes=xs, factors=fs)
+    truth = gaussian_displacement_graph_evidence(sampler.joint)
+
+    biases, errs = [], []
+    for seed in (1, 2, 3, 4):
+        summ = {}
+        sampler.sample(key=np.array([seed, 7], dtype=np.uint32),
+                       live_points=400, dynamic=True, n_batches=2,
+                       res_summary=summ)
+        biases.append(summ["logz"] - truth)
+        errs.append(summ["logzerr"])
+        # each seed individually within its stated error bar
+        assert abs(biases[-1]) < 3.5 * summ["logzerr"]
+    mean_bias = float(np.mean(biases))
+    sem = float(np.mean(errs)) / np.sqrt(len(biases))
+    assert abs(mean_bias) < 2.5 * sem, \
+        f"dynamic NS biased: {mean_bias:+.4f} vs sem {sem:.4f}"
 
 
 def test_dynamic_ns_evidence_and_posterior():
