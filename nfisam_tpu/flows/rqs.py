@@ -14,9 +14,14 @@ implementation being matched is ``/root/reference/src/flows/utils.py``
 * both the forward and inverse (quadratic solve) directions return
   ``log |det J|`` terms elementwise so callers can sum over dims.
 
-A Pallas TPU kernel with identical semantics lives in
-``nfisam_tpu/flows/rqs_pallas.py``; this module is the XLA reference path
-and the numerical ground truth for its golden tests.
+This module is also the numerical ground truth for the fused Pallas
+AR-inverse kernel (``flows/ar_inverse_pallas.py``), which embeds the same
+spline math.  A standalone elementwise RQS Pallas kernel was built and
+measured in round 2 at PARITY with XLA's own fusion of this module
+(negative result recorded in BENCHMARKS.md) and removed — XLA fuses the
+elementwise chain as well as a hand kernel; the win only exists where
+fusion crosses the sequential AR dimension loop, which is what
+``ar_inverse_pallas`` does.
 """
 from __future__ import annotations
 
