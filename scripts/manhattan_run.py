@@ -42,13 +42,16 @@ from nfisam_tpu.parallel.scheduler import ParallelNFiSAM
 from nfisam_tpu.solver import NFiSAMArgs
 
 DATA = "/root/repo/data/lawnmower_4x4_factor_graph.fg"
-OUT = "/tmp/manhattan_results.json"
+# optional argv seed: accuracy-spread runs (one timed pass, per-seed file)
+SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+OUT = ("/tmp/manhattan_results.json" if SEED == 0
+       else f"/tmp/manhattan_seed{SEED}_results.json")
 
 
 def build_solver():
     kwargs = dict(posterior_sample_num=1000, local_sample_num=2000,
                   flow_iterations=2000, num_knots=9, learning_rate=0.02,
-                  hidden_dim=8, elimination_method="pose_first", seed=0)
+                  hidden_dim=8, elimination_method="pose_first", seed=SEED)
     if MESH_N:
         from nfisam_tpu.parallel.mesh import make_mesh
         n_clique = 2 if MESH_N % 2 == 0 else 1
@@ -108,6 +111,14 @@ def run_once(tag):
 
 
 def main():
+    if SEED:
+        res = {"steady": run_once(f"seed{SEED}")}
+        print(json.dumps({k: {kk: vv for kk, vv in v.items()
+                              if kk != "step_times"}
+                          for k, v in res.items()}), flush=True)
+        with open(OUT, "w") as f:
+            json.dump(res, f, indent=1)
+        return
     cold = run_once("cold")
     warm = run_once("warm")     # steady state: all signatures compiled
     res = {"cold": cold, "steady": warm}

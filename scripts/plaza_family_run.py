@@ -33,6 +33,41 @@ OUT = (f"/tmp/{DATASET}_results.json" if SEED == 0
        else f"/tmp/{DATASET}_seed{SEED}_results.json")
 
 
+HYPO_EVERY = 10   # hypothesis-weight sampling cadence (hundreds of DA
+                  # factors x ~150 steps would be dispatch-bound per step)
+
+
+def geometric_true_component(factor, truth):
+    """Index of the candidate whose ground-truth distance to the observer
+    best matches the measured range — the 'true' association for
+    resolution curves (the .fg grammar does not label it)."""
+    obs = float(np.asarray(factor.observation).reshape(-1)[0])
+    o = np.asarray(truth[factor.vars[0]])[:2]
+    ds = [abs(float(np.linalg.norm(
+        np.asarray(truth[v])[:2] - o)) - obs) for v in factor.vars[1:]]
+    return int(np.argmin(ds))
+
+
+def hypo_snapshot(factors_in, samples, truth):
+    """Mean posterior weight on the geometric-truth component, and the
+    fraction of DA factors resolved (>0.9) onto it."""
+    from nfisam_tpu.factors.mixtures import BinaryFactorMixture
+    ws = []
+    have = set(samples)
+    for f in factors_in:
+        if not isinstance(f, BinaryFactorMixture) or len(f.vars) < 3:
+            continue
+        if not set(f.vars).issubset(have):
+            continue
+        w = np.asarray(f.posterior_weights(samples))
+        ws.append(float(w[geometric_true_component(f, truth)]))
+    if not ws:
+        return None
+    ws = np.asarray(ws)
+    return {"n": len(ws), "mean_true_weight": round(float(ws.mean()), 3),
+            "resolved_frac": round(float((ws > 0.9).mean()), 3)}
+
+
 def main():
     nodes, truth, factors = graph_file_parser(DATA, "fg")
     batches = group_nodes_factors_incrementally(nodes, factors,
@@ -42,7 +77,9 @@ def main():
                       learning_rate=0.01, hidden_dim=8,
                       elimination_method="pose_first", seed=SEED)
     solver = ParallelNFiSAM(args)
+    is_ada = "ada" in DATASET
     step_times = []
+    hypo_curve = []
     samples = None
     t_all = time.time()
     for i, (ns, fs) in enumerate(batches):
@@ -54,6 +91,14 @@ def main():
         solver.update_physical_and_working_graphs()
         samples = solver.incremental_inference()
         step_times.append(time.time() - t0)
+        if is_ada and (i % HYPO_EVERY == 0 or i == len(batches) - 1):
+            snap = hypo_snapshot(solver.physical_factors, samples, truth)
+            if snap is not None:
+                hypo_curve.append({"step": i, **snap})
+                print(f"step {i}: DA true-assoc weight "
+                      f"{snap['mean_true_weight']} over {snap['n']} "
+                      f"factors, resolved {snap['resolved_frac']}",
+                      flush=True)
         if i % 10 == 0 or step_times[-1] > 30:
             print(f"step {i}/{len(batches)}: {step_times[-1]:.1f}s, "
                   f"total {time.time() - t_all:.0f}s", flush=True)
@@ -70,9 +115,12 @@ def main():
               "max_step_s": round(float(np.max(step_times)), 2),
               "trans_rmse": round(float(np.sqrt((errs ** 2).mean())), 3),
               "max_err": round(float(errs.max()), 2)}
+    if hypo_curve:
+        result["hypo_final"] = hypo_curve[-1]
     print(json.dumps(result), flush=True)
     with open(OUT, "w") as f:
         json.dump({**result,
+                   "hypo_curve": hypo_curve,
                    "step_times": [round(t, 3) for t in step_times]}, f)
 
 
