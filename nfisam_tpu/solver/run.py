@@ -72,7 +72,7 @@ def run_incrementally(case_dir: str, solver: FactorGraphSolver,
             jax.profiler.stop_trace()
         if verbose:
             print(f"step {i}/{num_batches} time: {step_timer[-1]:.3f} s, "
-                  f"total: {sum(step_timer):.3f} s")
+                  f"total: {sum(step_timer):.3f} s", flush=True)
 
         with open(f"{prefix}_ordering", "w") as f:
             f.write(" ".join(str(v.name)
