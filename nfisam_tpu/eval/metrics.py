@@ -21,10 +21,18 @@ from ..core.variables import R2Variable, SE2Variable, Variable
 
 
 def _sq_dists(X: jax.Array, Y: jax.Array) -> jax.Array:
-    """Pairwise squared distances via the Gram-matrix identity."""
+    """Pairwise squared distances via the Gram-matrix identity.
+
+    The Gram matmul runs at HIGHEST precision: on TPU the default is
+    bf16-input passes, and with O(100 m) coordinates the resulting
+    O(1e-1) squared-distance error swamps MMD readings in the 1e-2
+    range (measured: case1 step-3 joint MMD read 0.11 under default
+    precision vs 0.04 under f32 on identical samples).  Metrics are
+    measurement code — they must not trade accuracy for MXU speed."""
     xx = jnp.sum(X * X, axis=1)
     yy = jnp.sum(Y * Y, axis=1)
-    return jnp.maximum(xx[:, None] + yy[None, :] - 2.0 * X @ Y.T, 0.0)
+    gram = jnp.matmul(X, Y.T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(xx[:, None] + yy[None, :] - 2.0 * gram, 0.0)
 
 
 @jax.jit
@@ -150,14 +158,16 @@ def gaussian_kernel_stein_discrepancy(joint_factor, kernel_precision,
     n, d = X.shape
     score = jnp.asarray(joint_factor.grad_x_log_pdf(X))       # (n, d)
     diff = X[:, None, :] - X[None, :, :]                      # (n, n, d)
-    maha = jnp.einsum("ijd,de,ije->ij", diff, P, diff)
+    hi = jax.lax.Precision.HIGHEST      # measurement code: no bf16 dots
+    maha = jnp.einsum("ijd,de,ije->ij", diff, P, diff, precision=hi)
     KXX = jnp.exp(-maha / 2)
-    grad_i = -jnp.einsum("de,ije->ijd", P, diff)              # dk wrt x_i dir
-    p1 = score @ score.T
-    p2 = jnp.einsum("id,ijd->ij", score, -grad_i)
-    p3 = jnp.einsum("jd,ijd->ij", score, grad_i)
+    grad_i = -jnp.einsum("de,ije->ijd", P, diff, precision=hi)  # dk wrt x_i
+    p1 = jnp.matmul(score, score.T, precision=hi)
+    p2 = jnp.einsum("id,ijd->ij", score, -grad_i, precision=hi)
+    p3 = jnp.einsum("jd,ijd->ij", score, grad_i, precision=hi)
     # trace(grad_i grad_j^T + P) with grad_j = -grad_i:
-    p4 = jnp.trace(P) - jnp.einsum("ijd,ijd->ij", grad_i, grad_i)
+    p4 = jnp.trace(P) - jnp.einsum("ijd,ijd->ij", grad_i, grad_i,
+                                   precision=hi)
     raw = (p1 + p2 + p3 + p4) * KXX
     off = raw - jnp.diag(jnp.diag(raw))
     ustats = float(jnp.sum(off) / (n * (n - 1)))
