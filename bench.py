@@ -61,7 +61,15 @@ STEADY_SEEDS = (1, 2, 3)   # timing AND accuracy-gate solver seeds
 
 
 def solve_once(nodes, factors, seed, collect_steps=False,
-               return_solver=False):
+               return_solver=False, phases=None):
+    """One full incremental solve.  With ``phases`` (a dict), per-phase
+    wall totals are recorded: host graph surgery vs clique fit (simulate +
+    train dispatch) vs posterior pass dispatch vs the final blocking
+    device fetch, plus the worst single step and the number of host GC
+    collections during the run — the attribution data for steady-state
+    run-to-run variance (round-3 weak #7: one 0.89 s run in a 0.49/0.55 s
+    field, cause unlogged)."""
+    import gc
     batches = group_nodes_factors_incrementally(nodes, factors,
                                                 incremental_step=1)
     args = NFiSAMArgs(posterior_sample_num=1000, local_sample_num=2000,
@@ -72,24 +80,47 @@ def solve_once(nodes, factors, seed, collect_steps=False,
     # as ONE vmapped program (the parallelism the reference leaves on the
     # table, SURVEY §2.3); results are bit-identical to sequential NFiSAM
     solver = ParallelNFiSAM(args)
+    gc0 = gc.get_stats()
     t0 = time.time()
     samples = None
     per_step = []
+    t_surgery = t_fit = t_post = 0.0
+    worst_step = 0.0
     for (ns, fs) in batches:
+        ts = time.time()
         for n in ns:
             solver.add_node(n)
         for f in fs:
             solver.add_factor(f)
         solver.update_physical_and_working_graphs()
-        samples = solver.incremental_inference()
+        t1 = time.time()
+        solver.fit_tree_density_models()
+        t2 = time.time()
+        samples = solver._samples = solver.sample_posterior()
+        t3 = time.time()
+        t_surgery += t1 - ts
+        t_fit += t2 - t1
+        t_post += t3 - t2
+        worst_step = max(worst_step, t3 - ts)
         if collect_steps:
             per_step.append({v: np.asarray(s) for v, s in samples.items()})
     # force completion of any async device work
+    t4 = time.time()
     for v, s in samples.items():
         np.asarray(s)
+    total = time.time() - t0
+    if phases is not None:
+        gc1 = gc.get_stats()
+        phases.update({
+            "surgery_s": round(t_surgery, 3), "fit_s": round(t_fit, 3),
+            "posterior_s": round(t_post, 3),
+            "final_fetch_s": round(time.time() - t4, 3),
+            "worst_step_s": round(worst_step, 3),
+            "gc_collections": sum(g1["collections"] - g0["collections"]
+                                  for g0, g1 in zip(gc0, gc1))})
     if return_solver:
-        return time.time() - t0, samples, per_step, solver
-    return time.time() - t0, samples, per_step
+        return total, samples, per_step, solver
+    return total, samples, per_step
 
 
 def _translation_block(samples_by_name, name2dim, names):
@@ -218,14 +249,31 @@ def main():
             sys.exit(1)
     # timing solves: pure speed, no per-step artifact fetches
     times = []
+    phase_logs = []
     samples = None
     for i, seed in enumerate(STEADY_SEEDS):
-        t, s, _ = solve_once(nodes, factors, seed=seed)
-        print(f"# steady-state {i + 1}: {t:.2f} s", file=sys.stderr)
+        phases = {}
+        t, s, _ = solve_once(nodes, factors, seed=seed, phases=phases)
+        print(f"# steady-state {i + 1}: {t:.2f} s  "
+              f"(surgery {phases['surgery_s']} / fit {phases['fit_s']} / "
+              f"posterior {phases['posterior_s']} / final fetch "
+              f"{phases['final_fetch_s']}; worst step "
+              f"{phases['worst_step_s']}, gc {phases['gc_collections']})",
+              file=sys.stderr)
         times.append(t)
+        phase_logs.append(phases)
         if i == 0:
             samples = s
     t_meas = float(np.median(times))
+    spread = (max(times) - min(times)) / min(times)
+    if spread > 0.2:
+        slow = phase_logs[int(np.argmax(times))]
+        fast = phase_logs[int(np.argmin(times))]
+        delta = {k: round(slow[k] - fast[k], 3)
+                 for k in ("surgery_s", "fit_s", "posterior_s",
+                           "final_fetch_s")}
+        print(f"# run spread {100 * spread:.0f}% — slowest-vs-fastest "
+              f"phase deltas: {delta}", file=sys.stderr)
 
     # accuracy solves (untimed): same seeds, per-step samples collected
     per_step_by_seed = [
@@ -266,6 +314,8 @@ def main():
         "mmd_joint": round(mmd_joint, 4),
         "ref_mmd_joint": round(ref_mmd_joint, 4),
         "accuracy_ok": bool(ok),
+        "steady_runs_s": [round(t, 3) for t in times],
+        "phases_per_run": phase_logs,
     }
     if pallas_err is not None:
         out["pallas_roundtrip_resid"] = round(pallas_err, 8)

@@ -11,8 +11,10 @@
 // SE2->R2 and R2->R2 range); others are skipped with a warning.
 //
 // Build:  g++ -O2 -std=c++17 -o fg_solver fg_solver.cc
-// Usage:  ./fg_solver graph.fg [max_iters]
-// Output: one JSON line with {iters, cost, solve_ms, trans_rmse}.
+// Usage:  ./fg_solver graph.fg [max_iters] [--dump est.txt]
+// Output: one JSON line with {iters, cost, solve_ms, trans_rmse};
+//         with --dump, per-variable "name x y [theta]" estimate lines
+//         (the parity-test surface against solver/map_solver.py).
 
 #include <chrono>
 #include <cmath>
@@ -273,7 +275,15 @@ int main(int argc, char** argv) {
     std::fprintf(stderr, "usage: %s graph.fg [max_iters]\n", argv[0]);
     return 2;
   }
-  int max_iters = argc > 2 ? std::atoi(argv[2]) : 100;
+  int max_iters = 100;
+  const char* dump_path = nullptr;
+  for (int a = 2; a < argc; ++a) {
+    if (std::strcmp(argv[a], "--dump") == 0 && a + 1 < argc) {
+      dump_path = argv[++a];
+    } else {
+      max_iters = std::atoi(argv[a]);
+    }
+  }
   Problem p;
   if (!Parse(argv[1], &p)) {
     std::fprintf(stderr, "cannot read %s\n", argv[1]);
@@ -368,6 +378,14 @@ int main(int argc, char** argv) {
     }
   }
   double rmse = cnt ? std::sqrt(se / cnt) : -1.0;
+  if (dump_path) {
+    std::ofstream out(dump_path);
+    for (const auto& v : p.vars) {
+      out << v.name;
+      for (int d = 0; d < v.dim; ++d) out << " " << x[v.offset + d];
+      out << "\n";
+    }
+  }
   std::printf(
       "{\"vars\": %zu, \"factors\": %zu, \"iters\": %d, \"cost\": %.4f, "
       "\"solve_ms\": %.2f, \"trans_rmse\": %.4f}\n",

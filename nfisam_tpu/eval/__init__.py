@@ -1,4 +1,4 @@
-from .metrics import (mmd, mmd_unbiased_sq, mmd_biased, rmse, sample_mean,
+from .metrics import (mmd, mmd_sq_signed, mmd_unbiased_sq, mmd_biased, rmse, sample_mean,
                       geodesic_distance, translation_distance,
                       kabsch_umeyama, gaussian_kernel_stein_discrepancy,
                       gaussian_displacement_graph_moments,

@@ -21,14 +21,20 @@ from ..core.variables import R2Variable, SE2Variable, Variable
 
 
 def _sq_dists(X: jax.Array, Y: jax.Array) -> jax.Array:
-    """Pairwise squared distances via the Gram-matrix identity.
+    """Pairwise squared distances.
 
-    The Gram matmul runs at HIGHEST precision: on TPU the default is
-    bf16-input passes, and with O(100 m) coordinates the resulting
-    O(1e-1) squared-distance error swamps MMD readings in the 1e-2
-    range (measured: case1 step-3 joint MMD read 0.11 under default
-    precision vs 0.04 under f32 on identical samples).  Metrics are
-    measurement code — they must not trade accuracy for MXU speed."""
+    Metrics are measurement code — they must not trade accuracy for MXU
+    speed.  The Gram identity ``xx + yy - 2 x.y`` catastrophically cancels
+    in f32 with O(100 m) coordinates (xx ~ 1e4 leaves ~1e-3 absolute error
+    on small squared distances — one order below the 1e-2 MMD readings the
+    gates act on), so the typical metric-sized inputs (n <= ~1000) compute
+    exact direct differences; only when the O(n*m*d) intermediate would
+    exceed ~64 MB does the HIGHEST-precision Gram form take over (still far
+    better than the default bf16 passes: case1 step-3 joint MMD read 0.11
+    under default precision vs 0.04 under f32 on identical samples)."""
+    if X.shape[0] * Y.shape[0] * X.shape[1] <= (1 << 24):
+        d = X[:, None, :] - Y[None, :, :]
+        return jnp.sum(d * d, axis=-1)
     xx = jnp.sum(X * X, axis=1)
     yy = jnp.sum(Y * Y, axis=1)
     gram = jnp.matmul(X, Y.T, precision=jax.lax.Precision.HIGHEST)
@@ -76,6 +82,26 @@ def mmd(samples1, samples2, k_sigma2: float = 1.0) -> float:
     E2 = (jnp.sum(KYY) - n) / (n * (n - 1))
     E3 = jnp.sum(KXY) / (m * n)
     return float(jnp.sqrt(jnp.maximum(E1 + E2 - 2 * E3, 0.0)))
+
+
+def mmd_sq_signed(samples1, samples2, k_sigma2: float = 1.0) -> float:
+    """Unclamped signed squared MMD (same kernel as ``mmd``).
+
+    Diagnostic companion to ``mmd``: the unbiased estimate can be
+    negative, and ``mmd``'s sqrt(max(., 0)) clamp hides how far below
+    zero it sat — a gate reading exactly 0.0 is indistinguishable from
+    deterministic replication without this value."""
+    X = jnp.asarray(samples1)
+    Y = jnp.asarray(samples2)
+    sigma = float(np.sqrt(k_sigma2))
+    m, n = X.shape[0], Y.shape[0]
+    KXX = jnp.exp(-_sq_dists(X, X) / (2 * sigma ** 2))
+    KXY = jnp.exp(-_sq_dists(X, Y) / (2 * sigma ** 2))
+    KYY = jnp.exp(-_sq_dists(Y, Y) / (2 * sigma ** 2))
+    E1 = (jnp.sum(KXX) - m) / (m * (m - 1))
+    E2 = (jnp.sum(KYY) - n) / (n * (n - 1))
+    E3 = jnp.sum(KXY) / (m * n)
+    return float(E1 + E2 - 2 * E3)
 
 
 def rmse(samples1, samples2) -> float:

@@ -144,8 +144,12 @@ class ParallelNFiSAM(NFiSAM):
                                 keys, samples_stack, cfg, tc, masks,
                                 scale_circular=scale_circ,
                                 mesh=self._args.data_parallel_mesh)
+                        # canonical (sorted) name: clique.vars is a set, so
+                        # join order would leak PYTHONHASHSEED into the
+                        # MULTIHOST artifact and churn it per regeneration
                         self.host_trained_cliques.extend(
-                            "".join(str(v.name) for v in items[i][0].vars)
+                            "".join(sorted(str(v.name)
+                                           for v in items[i][0].vars))
                             for i in trained_idx)
                     else:
                         p_s, il_s, t_s, m_s, s_s = fit_flows_batched(
@@ -180,8 +184,8 @@ class ParallelNFiSAM(NFiSAM):
                     adapter = FlowModelAdapter(
                         model, self._next_key,
                         mesh=self._args.sample_mesh)
-                    clique_name = "".join(str(v.name)
-                                          for v in clique.vars)
+                    clique_name = "".join(sorted(str(v.name)
+                                                 for v in clique.vars))
                     self._temp_training_loss[clique_name] = (iter_loss,
                                                              n_iters)
                     if self._model_store is not None:

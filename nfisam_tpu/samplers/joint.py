@@ -222,8 +222,23 @@ class StructuredJointFactor(JointFactor):
                 total = total + jax.vmap(f.evaluate_loglike)(xi)
             return total
 
+        def logprior(x):
+            """(n, dim) params -> (n,) ancestral (tree-factor) log density
+            — the density of the measure ``sample``/``ptform`` draw from.
+            MCMC move kernels over that measure (SMC's MH) need this
+            explicitly: a random-walk step in x-space that only weighs the
+            tempered likelihood targets ``like^beta`` instead of
+            ``prior * like^beta`` and inflates the posterior."""
+            total = jnp.zeros(x.shape[0])
+            for f in tree_priors:
+                total = total + f.log_pdf(x[:, f2i[f]])
+            for f, _ in tree_binaries:
+                total = total + f.log_pdf(x[:, f2i[f]])
+            return total
+
         self._jit_ptform = jax.jit(ptform)
         self._jit_loglike = jax.jit(loglike)
+        self._jit_logprior = jax.jit(logprior)
 
     def ptform(self, u) -> jax.Array:
         if self._jit_ptform is None:
@@ -234,3 +249,8 @@ class StructuredJointFactor(JointFactor):
         if self._jit_loglike is None:
             self._build_ns()
         return self._jit_loglike(jnp.asarray(x, dtype=jnp.float32))
+
+    def log_prior_tree(self, x) -> jax.Array:
+        if self._jit_loglike is None:
+            self._build_ns()
+        return self._jit_logprior(jnp.asarray(x, dtype=jnp.float32))

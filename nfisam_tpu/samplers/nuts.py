@@ -47,10 +47,25 @@ def _leapfrog(grad_fn, q, p, eps, inv_mass):
 def build_nuts_kernel(logprob_fn: Callable, dim: int, cfg: NUTSConfig):
     """One NUTS transition, vectorized over chains via vmap.
 
-    Iterative tree doubling with multinomial state selection; the U-turn
-    check uses the standard start/end momentum criterion per doubling.
+    Iterative tree doubling with multinomial state selection.  Validity
+    follows canonical NUTS (Stan / iterative form of Phan & Pradhan): a
+    new subtree is merged into the sample ONLY if it contains no internal
+    U-turn (checked against O(log n) stored checkpoint states at the
+    power-of-two block boundaries) and no divergent leaf (dH < -1000);
+    an invalid subtree is discarded wholesale and the transition ends.
+    Round-4 regression context: merging unchecked subtrees measurably
+    over-dispersed a ring posterior (arc std 1.15 vs analytic 0.70).
     """
     grad_fn = jax.grad(logprob_fn)
+    D = cfg.max_treedepth
+
+    def popcount(x):
+        return jax.lax.population_count(jnp.uint32(x)).astype(jnp.int32)
+
+    def ctz(x):
+        # count of trailing zeros of x (x > 0)
+        x = jnp.uint32(x)
+        return popcount(~x & (x - 1))
 
     def kernel(key, q0, eps, inv_mass):
         kp, kd, ku = jax.random.split(key, 3)
@@ -58,8 +73,12 @@ def build_nuts_kernel(logprob_fn: Callable, dim: int, cfg: NUTSConfig):
         logp0 = logprob_fn(q0)
         H0 = logp0 - 0.5 * jnp.sum(p0 * p0 * inv_mass)
 
-        dirs = jax.random.bernoulli(kd, 0.5, (cfg.max_treedepth,))
-        unif_keys = jax.random.split(ku, cfg.max_treedepth)
+        dirs = jax.random.bernoulli(kd, 0.5, (D,))
+        unif_keys = jax.random.split(ku, D)
+
+        def is_turn(dq, p_a, p_b):
+            return (jnp.dot(dq, p_a * inv_mass) < 0) | \
+                   (jnp.dot(dq, p_b * inv_mass) < 0)
 
         # carry: (q_minus, p_minus, q_plus, p_plus, q_sample, logw_total,
         #         depth, stop, accept_stat_sum, accept_stat_n)
@@ -69,11 +88,13 @@ def build_nuts_kernel(logprob_fn: Callable, dim: int, cfg: NUTSConfig):
             n_steps = 2 ** depth
 
             def step_body(i, sc):
-                q, p, logw_new, q_new, acc_s, acc_c, ki = sc
+                (q, p, logw_new, q_new, acc_s, acc_c, ki, ckq, ckp,
+                 bad) = sc
                 q, p = _leapfrog(grad_fn, q, p, jnp.where(go_right, eps,
                                                           -eps), inv_mass)
                 H = logprob_fn(q) - 0.5 * jnp.sum(p * p * inv_mass)
                 dH = H - H0
+                diverged = (dH < -1000.0) | ~jnp.isfinite(dH)
                 acc_s = acc_s + jnp.minimum(1.0, jnp.exp(dH))
                 acc_c = acc_c + 1
                 # multinomial: keep this point with prob w/(w_tot)
@@ -81,38 +102,60 @@ def build_nuts_kernel(logprob_fn: Callable, dim: int, cfg: NUTSConfig):
                 k1, ki = jax.random.split(ki)
                 take = jnp.log(jax.random.uniform(k1)) < dH - logw_new2
                 q_new = jnp.where(take, q, q_new)
-                return (q, p, logw_new2, q_new, acc_s, acc_c, ki)
+
+                # checkpoint store: leaf i (even) starts power-of-2 blocks;
+                # slot = popcount(i) bounds live checkpoints to log(n)+1
+                slot_st = popcount(i)
+                store = (i % 2) == 0
+                ckq = jnp.where(store, ckq.at[slot_st].set(q), ckq)
+                ckp = jnp.where(store, ckp.at[slot_st].set(p), ckp)
+
+                # within-subtree U-turn checks: every aligned block of
+                # size 2^k (k>=1) ending at leaf i, i.e. 2^k | (i+1);
+                # its start-state checkpoint sits at slot pc-1+c-k
+                c = ctz(i + 1)
+                pc = popcount(i + 1)
+                turn = jnp.asarray(False)
+                for k in range(1, D + 1):
+                    active = k <= c
+                    slot = jnp.clip(pc - 1 + c - k, 0, D)
+                    dq = q - ckq[slot]
+                    turn = turn | (active & is_turn(dq, ckp[slot], p))
+                return (q, p, logw_new2, q_new, acc_s, acc_c, ki, ckq,
+                        ckp, bad | turn | diverged)
 
             q_start = jnp.where(go_right, qp, qm)
             p_start = jnp.where(go_right, pp, pm)
-            (q_end, p_end, logw_sub, q_sub, acc_sum, acc_n, _) = \
-                jax.lax.fori_loop(
-                    0, n_steps, step_body,
-                    (q_start, p_start, -jnp.inf, q_start, acc_sum, acc_n,
-                     unif_keys[depth]))
+            ckq0 = jnp.zeros((D + 1, dim), q_start.dtype)
+            ckp0 = jnp.zeros((D + 1, dim), p_start.dtype)
+            (q_end, p_end, logw_sub, q_sub, acc_sum, acc_n, _, _, _,
+             sub_bad) = jax.lax.fori_loop(
+                0, n_steps, step_body,
+                (q_start, p_start, -jnp.inf, q_start, acc_sum, acc_n,
+                 unif_keys[depth], ckq0, ckp0, jnp.asarray(False)))
 
-            qm2 = jnp.where(go_right, qm, q_end)
-            pm2 = jnp.where(go_right, pm, p_end)
-            qp2 = jnp.where(go_right, q_end, qp)
-            pp2 = jnp.where(go_right, p_end, pp)
+            valid = ~sub_bad
+            qm2 = jnp.where(go_right | sub_bad, qm, q_end)
+            pm2 = jnp.where(go_right | sub_bad, pm, p_end)
+            qp2 = jnp.where(go_right & valid, q_end, qp)
+            pp2 = jnp.where(go_right & valid, p_end, pp)
 
-            # multinomial merge of the new subtree into the sample
-            logw2 = jnp.logaddexp(logw, logw_sub)
+            # multinomial merge of the new subtree — only if it is valid
+            logw2 = jnp.where(valid, jnp.logaddexp(logw, logw_sub), logw)
             k2 = jax.random.fold_in(unif_keys[depth], 1)
-            take_sub = jnp.log(jax.random.uniform(k2)) < logw_sub - logw2
+            take_sub = valid & (jnp.log(jax.random.uniform(k2)) <
+                                logw_sub - logw2)
             q_s2 = jnp.where(take_sub, q_sub, q_s)
 
-            # U-turn / divergence checks
+            # merged-tree U-turn check across the two halves
             dq = qp2 - qm2
-            uturn = (jnp.dot(dq, pm2 * inv_mass) < 0) | \
-                    (jnp.dot(dq, pp2 * inv_mass) < 0)
-            diverged = ~jnp.isfinite(logw_sub)
+            uturn = is_turn(dq, pm2, pp2)
             return (qm2, pm2, qp2, pp2, q_s2, logw2, depth + 1,
-                    uturn | diverged, acc_sum, acc_n)
+                    uturn | sub_bad, acc_sum, acc_n)
 
         def doubling_cond(carry):
             depth, stop = carry[6], carry[7]
-            return (~stop) & (depth < cfg.max_treedepth)
+            return (~stop) & (depth < D)
 
         init = (q0, p0, q0, p0, q0, jnp.float32(0.0), jnp.int32(0),
                 jnp.asarray(False), jnp.float32(0.0), jnp.int32(0))

@@ -324,7 +324,8 @@ class NFiSAM(FactorGraphSolver):
         # loss curves stay on device until someone (run harness, user)
         # asks for them: per-clique d2h fetches here would serialize the
         # solve on tunnel round trips (see utils/keys.py)
-        clique_name = "".join(str(v.name) for v in clique.vars)
+        # sorted: clique.vars is a set; unsorted joins churn per hash seed
+        clique_name = "".join(sorted(str(v.name) for v in clique.vars))
         self._temp_training_loss[clique_name] = (iter_loss, n_iters)
         if self._args.training_loss_dir is not None and \
                 os.path.isdir(self._args.training_loss_dir):

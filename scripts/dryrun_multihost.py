@@ -14,9 +14,13 @@ What this proves (SURVEY §2.3 / §7.2 stage 9, BASELINE.md "≥2 hosts"):
 * trained parameter stacks are exchanged with ``process_allgather`` over
   the distributed backend (the DCN analog), after which every process
   finishes the solve identically;
-* posterior moments from the 2-process run match the single-process
-  solve within a distributional bound (per-variable translation MMD
-  against the single-process posterior, same gate style as bench.py).
+* the 2-process posterior matches a SAME-seed single-process solve
+  distributionally (replication gate, worst per-variable translation
+  MMD), and matches a DIFFERENT-seed single-process solve on the
+  mode-invariant measured-range statistic (independence gate — the
+  landmark has mirror ring modes, so independently seeded runs may
+  legitimately commit to different modes; the raw translation MMD
+  against the independent run is recorded as a diagnostic only).
 
 Usage:  python scripts/dryrun_multihost.py            # launcher
         (workers are spawned internally with --worker)
@@ -34,7 +38,9 @@ PORT = int(os.environ.get("NFISAM_MH_PORT", "47123"))
 N_PROC = 2
 N_ROBOTS = 4
 T = 4
-MMD_TOL = 0.05
+MMD_TOL = 0.05        # gate 3: same-seed replication across process counts
+RANGE_MMD_TOL = 0.12  # gate 4: mode-invariant stat across independent seeds
+SINGLE_SEED = 4       # decorrelated single-process reference (gate 4)
 # NFISAM_MH_FAST=1: smaller flows/samples for the pytest wrapper
 FAST = os.environ.get("NFISAM_MH_FAST", "0") == "1"
 ITERS = 120 if FAST else 300
@@ -67,7 +73,7 @@ def build_graph():
     return vars_, fs
 
 
-def solve(tag: str):
+def solve(tag: str, seed: int = 3):
     import numpy as np
 
     from nfisam_tpu.io import group_nodes_factors_incrementally
@@ -79,7 +85,8 @@ def solve(tag: str):
                                                 incremental_step=T)
     args = NFiSAMArgs(posterior_sample_num=N_POST, local_sample_num=N_LOCAL,
                       flow_iterations=ITERS, num_knots=6, learning_rate=0.03,
-                      hidden_dim=8, elimination_method="pose_first", seed=3)
+                      hidden_dim=8, elimination_method="pose_first",
+                      seed=seed)
     solver = ParallelNFiSAM(args)
     for (ns, fbatch) in batches:
         for n in ns:
@@ -146,7 +153,8 @@ def launcher():
     from nfisam_tpu.eval import mmd
 
     with open(os.path.join(ROOT, ".mh_single.json")) as fh:
-        single = json.load(fh)
+        single_payloads = json.load(fh)
+    single = single_payloads[0]   # same-seed replication reference
     payloads = []
     for pid in range(N_PROC):
         with open(os.path.join(ROOT, f".mh_proc{pid}.json")) as fh:
@@ -166,26 +174,86 @@ def launcher():
         m1, s1 = payloads[1]["moments"][k]
         assert np.allclose(m0, m1, atol=1e-5), f"{k}: proc moments differ"
 
-    # 3. distributional agreement with the single-process posterior:
-    # per-variable translation MMD (bench-gate style, not a loose mean tol)
+    # 3. REPLICATION gate: same solver seed, 1 process vs 2 processes —
+    # the multi-host chunked training must reproduce the single-process
+    # posterior distributionally (worst per-variable translation MMD).
+    # The unclamped signed MMD^2 is recorded so a 0.0 reading is
+    # auditable as "estimator clamped", not silently perfect.
+    from nfisam_tpu.eval import mmd_sq_signed
     worst = ("", 0.0)
+    worst_sq = ("", -np.inf)
     for k, pts in payloads[0]["samples_2d"].items():
         a = np.asarray(pts)
         b = np.asarray(single["samples_2d"][k])
         m = float(mmd(a, b))
+        msq = mmd_sq_signed(a, b)
         if m > worst[1]:
             worst = (k, m)
-    print(f"worst per-variable translation MMD vs single-process: "
-          f"{worst[1]:.4f} ({worst[0]}), gate {MMD_TOL}")
+        if msq > worst_sq[1]:
+            worst_sq = (k, msq)
+    print(f"replication gate — worst translation MMD vs single-process "
+          f"(same seed): {worst[1]:.4f} ({worst[0]}), gate {MMD_TOL}; "
+          f"worst signed MMD^2 {worst_sq[1]:.2e} ({worst_sq[0]})")
     assert worst[1] < MMD_TOL, "multi-host posterior diverges"
+
+    # 4. INDEPENDENCE gate vs a DIFFERENT-seed single-process solve: the
+    # landmark here sits on two mirror ring modes, and independently
+    # seeded flow fits legitimately commit to different modes (raw
+    # translation MMD then reads O(1) by design — recorded as a
+    # diagnostic, not gated).  The gated statistic is mode-invariant:
+    # the measured-range posterior |chain_end - L1| per robot must agree
+    # across seeds.
+    single_ind = single_payloads[1]
+    lm = "L1"
+
+    def worst_range_mmd(pa, pb):
+        worst = ("", 0.0)
+        for r in range(N_ROBOTS):
+            end = f"{chr(ord('A') + r)}{T - 1}"
+            a = (np.asarray(pa["samples_2d"][end]) -
+                 np.asarray(pa["samples_2d"][lm]))
+            b = (np.asarray(pb["samples_2d"][end]) -
+                 np.asarray(pb["samples_2d"][lm]))
+            m = float(mmd(np.linalg.norm(a, axis=1)[:, None],
+                          np.linalg.norm(b, axis=1)[:, None]))
+            if m > worst[1]:
+                worst = (end, m)
+        return worst
+
+    worst_rng = worst_range_mmd(payloads[0], single_ind)
+    # yardstick: the SAME statistic between the two single-process seeds
+    # is pure flow-fit seed variance with zero multihost machinery —
+    # the multihost run may not exceed the larger of 2x that or the
+    # absolute floor
+    seed_var = worst_range_mmd(single_payloads[0], single_ind)
+    gate = max(2.0 * seed_var[1], RANGE_MMD_TOL)
+    worst_raw = 0.0
+    for r in range(N_ROBOTS):
+        end = f"{chr(ord('A') + r)}{T - 1}"
+        worst_raw = max(worst_raw, float(mmd(
+            np.asarray(payloads[0]["samples_2d"][end]),
+            np.asarray(single_ind["samples_2d"][end]))))
+    print(f"independence gate — worst range-posterior MMD vs seed-"
+          f"{SINGLE_SEED} single run: {worst_rng[1]:.4f} "
+          f"({worst_rng[0]}), gate {gate:.4f} (= max(2x single-seed "
+          f"variance {seed_var[1]:.4f}, {RANGE_MMD_TOL})); raw "
+          f"translation MMD diagnostic {worst_raw:.4f}")
+    assert worst_rng[1] < gate, \
+        "range posterior diverges beyond seed variance"
 
     result = {
         "n_processes": N_PROC,
         "devices_per_process": payloads[0]["local_devices"],
         "global_devices": payloads[0]["global_devices"],
         "trained_per_process": [sorted(t) for t in trained],
-        "worst_translation_mmd_vs_single": worst[1],
-        "mmd_gate": MMD_TOL,
+        "replication_worst_translation_mmd": worst[1],
+        "replication_worst_mmd_sq_signed": worst_sq[1],
+        "replication_mmd_gate": MMD_TOL,
+        "independent_single_seed": SINGLE_SEED,
+        "independent_worst_range_mmd": worst_rng[1],
+        "independent_range_mmd_gate": gate,
+        "single_seed_variance_range_mmd": seed_var[1],
+        "independent_raw_translation_mmd_diag": worst_raw,
         "ok": True,
     }
     with open(os.path.join(ROOT, "MULTIHOST.json"), "w") as fh:
@@ -199,16 +267,20 @@ def launcher():
 def single():
     import jax
     jax.config.update("jax_platforms", "cpu")
-    samples, trained = solve("single")
-    assert trained == [], "single-process run must not chunk"
-    payload = {
-        "moments": {k: [list(map(float, v.mean(0))),
-                        list(map(float, v.std(0)))]
-                    for k, v in samples.items()},
-        "samples_2d": {k: v[:, :2].tolist() for k, v in samples.items()},
-    }
+    payloads = []
+    for seed in (3, SINGLE_SEED):   # workers' seed first (replication)
+        samples, trained = solve(f"single-seed{seed}", seed=seed)
+        assert trained == [], "single-process run must not chunk"
+        payloads.append({
+            "seed": seed,
+            "moments": {k: [list(map(float, v.mean(0))),
+                            list(map(float, v.std(0)))]
+                        for k, v in samples.items()},
+            "samples_2d": {k: v[:, :2].tolist()
+                           for k, v in samples.items()},
+        })
     with open(os.path.join(ROOT, ".mh_single.json"), "w") as fh:
-        json.dump(payload, fh)
+        json.dump(payloads, fh)
 
 
 if __name__ == "__main__":
