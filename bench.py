@@ -54,7 +54,12 @@ FG = ("/root/reference/example/slam/small_range_gaussian_problem/"
       "journal_paper/case1/factor_graph.fg")
 LOCAL_FG = os.path.join(HERE, "data", "case1_factor_graph.fg")
 REF_DIR = os.path.join(HERE, "data", "case1_ref")
-MMD_STEPS = (0, 1, 2, 3)   # dyn1 ships posterior samples for these steps
+# steps 0-3: the reference's committed dynesty posteriors; steps 4-5: the
+# in-repo nested-sampling references (6-seed pooled, protocol anchored to
+# dynesty at step 3 with MMD 0.031-0.045 — scripts/make_case1_step45_refs.py,
+# data/case1_ref/ns_step45_validation.json).  Full-trajectory gate closes
+# round-3 missing #3.
+MMD_STEPS = (0, 1, 2, 3, 4, 5)
 MMD_SUBSET = 500
 MMD_GATE_FACTOR = 2.0
 STEADY_SEEDS = (1, 2, 3)   # timing AND accuracy-gate solver seeds
@@ -147,9 +152,11 @@ def accuracy_gate(per_step, nodes):
 
     ours, refs = [], []
     for step in MMD_STEPS:
-        dyn = np.loadtxt(os.path.join(REF_DIR, f"dyn_step{step}.sample"))
+        src = "dyn" if step <= 3 else "ns"
+        dyn = np.loadtxt(os.path.join(REF_DIR,
+                                      f"{src}_step{step}.sample"))
         dyn_order = open(os.path.join(
-            REF_DIR, f"dyn_step{step}_ordering")).read().split()
+            REF_DIR, f"{src}_step{step}_ordering")).read().split()
         run1 = np.loadtxt(os.path.join(REF_DIR, f"run1_step{step}"))
         run1_order = open(os.path.join(
             REF_DIR, f"run1_step{step}_ordering")).read().split()

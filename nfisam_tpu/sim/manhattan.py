@@ -335,7 +335,11 @@ class ManhattanSimulator:
                 factors.append(SE2RelativeGaussianLikelihoodFactor(
                     var1=last_var, var2=var, observation=noisy,
                     covariance=rbt.odom_cov))
-                has_da = [has_da[0]]
+                # reset per pose: the reference allows one DA factor PER
+                # POSE (``add_range_factors`` Simulator.py:65 re-inits
+                # has_da each call); carrying it across the walk silently
+                # capped every generated workload at a single DA factor
+                has_da = [False]
                 self._emit_range_factor(cur_pose, rbt, var, lmk_vars,
                                         factors, var2truth, has_da)
                 last_pose, last_var = cur_pose, var

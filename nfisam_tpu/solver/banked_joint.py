@@ -72,6 +72,11 @@ class IncMAPConfig:
     tol: float = 1e-6
     warm_max_iters: int = 15    # LM iterations for warm-started re-solves
     landmark_init_candidates: int = 16
+    # backend pin: the floor is a REFERENCE baseline, not the product
+    # path — on the tunneled TPU the LM-CG program costs minutes to
+    # compile per bucket signature (measured 710 s at scale-run step 0)
+    # while the CPU compiles it in seconds and solves warm steps in ms
+    device: str = "cpu"
 
 
 # ---------------------------------------------------------------- density
@@ -126,7 +131,14 @@ def _banked_nll(x, banks):
     if "rg_obs_idx" in banks:                   # range mixtures (K comps)
         obs_t = x[banks["rg_obs_idx"]]                  # (n, 2)
         cand_t = x[banks["rg_cand_idx"]]                # (n, K, 2)
-        dist = jnp.linalg.norm(cand_t - obs_t[:, None, :], axis=-1)
+        d = cand_t - obs_t[:, None, :]
+        # safe norm: pad rows gather identical columns (dist exactly 0),
+        # and d|v|/dv is NaN at 0 — the 0-valid mask does NOT stop NaN
+        # from poisoning reverse-mode/jvp (0 * NaN = NaN), which silently
+        # turned every Hessian-vector product NaN and made LM reject all
+        # steps.  The reference guards its range gradient the same way
+        # (Factors.py:2203-2220, max(dist, 1e-8)).
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
         delta = dist - banks["rg_r"][:, None]           # (n, K)
         comp_lp = (banks["rg_logw"]
                    - 0.5 * delta ** 2 / banks["rg_sigma"] ** 2
@@ -344,18 +356,34 @@ class IncrementalGaussNewtonMAP:
                 center = x[o:o + 2].copy()
                 if isinstance(f, BinaryFactorMixture):
                     r = float(f.components[0].obs[0])
+                    sg = float(f.components[0].sigma)
                 else:
                     r = float(f.obs[0])
-                lmk_candidates.setdefault(v, []).append((center, r))
+                    sg = float(f.sigma)
+                lmk_candidates.setdefault(v, []).append((center, r, sg))
         for v, rings in lmk_candidates.items():
             all_touch = [f for f in self.factors if v in f.vars]
             if v not in new_set and len(all_touch) > 12:
-                continue   # well-constrained landmark: mode is settled
-            M = self.cfg.landmark_init_candidates
-            angs = np.linspace(-np.pi, np.pi, M, endpoint=False)
-            cands = [c[None] + r * np.stack([np.cos(angs),
-                                             np.sin(angs)], 1)
-                     for (c, r) in rings]
+                # settled landmark — but a new range that disagrees with
+                # the incumbent estimate by >4 sigma signals a wrong-mode
+                # commitment worth re-scoring (mode-escape hygiene)
+                inc = x[self.offset[v]:self.offset[v] + 2]
+                consistent = all(
+                    abs(np.linalg.norm(inc - c) - r) < 4.0 * sg
+                    for (c, r, sg) in rings)
+                if consistent:
+                    continue
+            cands = []
+            for (c, r, sg) in rings:
+                # arc spacing <= ~2 sigma so the true mode's basin is
+                # always sampled — a fixed candidate count left ~80 m
+                # gaps on 200 m rings and cold starts fell into wrong
+                # modes 20+ nats worse than the optimum
+                M = int(np.clip(np.pi * r / max(sg, 1e-3),
+                                self.cfg.landmark_init_candidates, 512))
+                angs = np.linspace(-np.pi, np.pi, M, endpoint=False)
+                cands.append(c[None] + r * np.stack([np.cos(angs),
+                                                     np.sin(angs)], 1))
             cands = np.concatenate(cands, axis=0)
             if v not in new_set:
                 # keep the incumbent estimate in the running
@@ -469,16 +497,25 @@ class IncrementalGaussNewtonMAP:
 
     def solve(self, timer: Optional[List[float]] = None,
               force_cold: bool = False) -> np.ndarray:
+        import contextlib
         t0 = time.time()
         if self._x is None or force_cold:
             self._cold_start()
         warm = self._solved_once and not force_cold
-        sig, banks = self._device_banks()
-        program = _solve_program(sig, self.cfg, warm)
-        D_pad = sig[0]
-        x0 = np.zeros(D_pad, np.float32)
-        x0[:self.dim] = self._x[:self.dim]
-        x, f_val, it = program(jnp.asarray(x0), banks)
+        if self.cfg.device:
+            try:
+                ctx = jax.default_device(jax.devices(self.cfg.device)[0])
+            except RuntimeError:
+                ctx = contextlib.nullcontext()
+        else:
+            ctx = contextlib.nullcontext()
+        with ctx:
+            sig, banks = self._device_banks()
+            program = _solve_program(sig, self.cfg, warm)
+            D_pad = sig[0]
+            x0 = np.zeros(D_pad, np.float32)
+            x0[:self.dim] = self._x[:self.dim]
+            x, f_val, it = program(jnp.asarray(x0), banks)
         x = np.asarray(x)[:self.dim]
         self._x = x.copy()
         self._solved_once = True

@@ -1,0 +1,262 @@
+#!/usr/bin/env python
+"""Scale benchmark: a Manhattan-world range-SLAM workload PAST the
+reference's ceiling (reference max: Plaza1, 778 poses / 156 steps;
+``example/slam/plaza_dataset``).  Round-3 VERDICT top item: every scaling
+mechanism (prewarm, pow-2 buckets, posterior-buffer growth points,
+wavefront scheduler) existed but was only ever exercised on graphs the
+reference already handled.
+
+Workload: lawnmower sweep over an NxN grid world (default 32x32 ->
+~1,100 SE2 poses), >=24 boundary landmarks, ambiguous data association
+on (reference simulator spec being scaled:
+``src/manhattan_world_with_range/Simulator.py:12-116``).
+
+Per step this records wall time split into host graph surgery / clique
+fit / posterior pass, plus the warm-started banked MAP floor
+(``solver/banked_joint.py`` — the ISAM2 analog;
+``gtsam_solution.cpp:18``) so the floor-cost-vs-graph-size curve is
+measured, not argued.
+
+Gates (exit 1):
+  * accuracy: final translation RMSE <= 1.2x the MAP floor RMSE;
+  * flatness: median step wall in the last quartile of steps <= 1.5x the
+    median in the second quartile (recompile spikes are EXCLUDED by the
+    median; the spikes themselves are reported separately).
+
+Usage:
+  python scripts/manhattan_scale_run.py                  # full (TPU)
+  python scripts/manhattan_scale_run.py --grid 8 --limit-steps 40  # smoke
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import numpy as np  # noqa: E402
+
+from nfisam_tpu.io import (graph_file_parser,  # noqa: E402
+                           group_nodes_factors_incrementally)
+from nfisam_tpu.io.fg_io import write_factor_graph_to_file  # noqa: E402
+from nfisam_tpu.parallel.scheduler import ParallelNFiSAM  # noqa: E402
+from nfisam_tpu.solver import NFiSAMArgs  # noqa: E402
+from nfisam_tpu.solver.banked_joint import (  # noqa: E402
+    IncMAPConfig, IncrementalGaussNewtonMAP)
+
+
+def generate(path, grid=32, cell=10.0, n_landmarks=24, seed=7,
+             ada_prob=0.2, range_std=2.0, range_prob=0.8):
+    """Deterministic dataset generation; cached on disk.
+
+    ``range_prob`` 0.8 gives each landmark ~grid^2 * 0.8 / n_landmarks
+    range hits from many lawnmower rows — enough geometry to resolve
+    the mirror ring modes that collinear single-row observations leave
+    ambiguous."""
+    from nfisam_tpu.sim import (GridBeacon, GridRobot, ManhattanGrid,
+                                ManhattanSimulator, SimulationArgs)
+    env = ManhattanGrid((grid + 2, grid + 2), cell,
+                        robot_area=[(1, 1), (grid, grid)])
+    rng = np.random.default_rng(seed)
+    cand = np.argwhere(env.landmark_feasibility)
+    order = rng.permutation(len(cand))
+    placed = 0
+    for k in order:
+        i, j = cand[k]
+        if env.add_landmark(GridBeacon(f"L{placed + 1}"), int(i), int(j)):
+            placed += 1
+        if placed >= n_landmarks:
+            break
+    rbt = GridRobot("X", step_scale=cell, range_std=range_std,
+                    odom_cov=np.diag([0.01, 0.01, 0.001]))
+    env.add_robot(rbt, 1, 1)
+    sim = ManhattanSimulator(env, SimulationArgs(
+        range_sensing_prob=range_prob, seed=seed, range_std=range_std,
+        ambiguous_data_association_prob=ada_prob, max_da_lmk=3))
+    wps = env.lawnmower_path()[1:]
+    rbt_vars, lmk_vars, factors, var2truth = sim.waypoint_slam(rbt, wps)
+    nodes = rbt_vars + lmk_vars
+    write_factor_graph_to_file(nodes, factors, var2truth, path)
+    return nodes, var2truth, factors
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", type=int, default=32)
+    ap.add_argument("--landmarks", type=int, default=24)
+    ap.add_argument("--ada", type=float, default=0.2)
+    ap.add_argument("--step", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--limit-steps", type=int, default=0)
+    ap.add_argument("--no-floor", action="store_true")
+    ap.add_argument("--iters", type=int, default=500)
+    args = ap.parse_args()
+
+    tag = f"scale_g{args.grid}_l{args.landmarks}_ada{args.ada}"
+    fg_path = os.path.join(REPO, "data", f"manhattan_{tag}.fg")
+    if not os.path.exists(fg_path):
+        print(f"# generating {fg_path}", flush=True)
+        generate(fg_path, grid=args.grid, n_landmarks=args.landmarks,
+                 ada_prob=args.ada)
+    nodes, truth, factors = graph_file_parser(fg_path, "fg")
+    n_poses = sum(1 for v in nodes if v.dim == 3)
+    n_mix = sum(1 for f in factors if len(f.vars) > 2)
+    print(f"# workload: {n_poses} poses, {len(nodes) - n_poses} landmarks,"
+          f" {len(factors)} factors ({n_mix} ambiguous-DA)", flush=True)
+
+    batches = group_nodes_factors_incrementally(nodes, factors,
+                                                incremental_step=args.step)
+    if args.limit_steps:
+        batches = batches[:args.limit_steps]
+
+    solver_args = NFiSAMArgs(
+        posterior_sample_num=1000, local_sample_num=2000,
+        flow_iterations=args.iters, num_knots=9, learning_rate=0.01,
+        hidden_dim=8, elimination_method="pose_first", seed=args.seed)
+    solver = ParallelNFiSAM(solver_args)
+    floor = None if args.no_floor else IncrementalGaussNewtonMAP(
+        IncMAPConfig())
+
+    rows = []
+    floor_times = []
+    samples = None
+    t_all = time.time()
+    for i, (ns, fs) in enumerate(batches):
+        t0 = time.time()
+        for n in ns:
+            solver.add_node(n)
+        for f in fs:
+            solver.add_factor(f)
+        solver.update_physical_and_working_graphs()
+        t1 = time.time()
+        solver.fit_tree_density_models()
+        t2 = time.time()
+        samples = solver._samples = solver.sample_posterior()
+        t3 = time.time()
+        rows.append({"step": i, "wall": t3 - t0, "surgery": t1 - t0,
+                     "fit": t2 - t1, "posterior": t3 - t2,
+                     "n_vars": len(solver.physical_vars)})
+        if floor is not None:
+            tf = []
+            floor.update(ns, fs)
+            floor.solve(timer=tf)
+            floor_times.append(tf[0])
+        if i % 25 == 0 or (t3 - t0) > 20:
+            fl = f", floor {floor_times[-1]:.3f}s" if floor_times else ""
+            print(f"step {i}/{len(batches)}: {t3 - t0:.2f}s "
+                  f"(surgery {t1 - t0:.2f} fit {t2 - t1:.2f} "
+                  f"post {t3 - t2:.2f}){fl}, "
+                  f"total {time.time() - t_all:.0f}s", flush=True)
+    total = time.time() - t_all
+
+    # ----------------------------------------------------------- accuracy
+    means = {v: np.asarray(samples[v]).mean(0) for v in samples}
+    errs = np.array([np.linalg.norm(means[v][:2] - truth[v][:2])
+                     for v in samples if v in truth])
+    lmk_errs = np.array([np.linalg.norm(means[v][:2] - truth[v][:2])
+                         for v in samples
+                         if v in truth and str(v.name).startswith("L")])
+    trans_rmse = float(np.sqrt((errs ** 2).mean()))
+
+    floor_rmse = None
+    inc_floor_rmse = None
+    if floor is not None:
+        # incremental warm-started floor (the flat-cost ISAM2 analog):
+        # reported, but its cold-start mode commitments make it an upper
+        # bound, not the floor
+        fest = floor.results()
+        ferrs = np.array([np.linalg.norm(fest[v][:2] - truth[v][:2])
+                          for v in fest if v in truth])
+        inc_floor_rmse = float(np.sqrt((ferrs ** 2).mean()))
+        # ACCURACY FLOOR: batch MAP initialized from the stored truth
+        # column — reference parity: the GTSAM harness reads init values
+        # from the .fg (gtsam_solution.cpp; native/fg_solver.cc same),
+        # so its floor is "best achievable given the measurements", not
+        # "best reachable from odometry dead-reckoning"
+        x_truth = np.zeros(floor.dim, np.float32)
+        for v in floor.vars:
+            o = floor.offset[v]
+            x_truth[o:o + v.dim] = np.asarray(truth[v])[:v.dim]
+        floor._x = x_truth
+        t_floor = []
+        floor.solve(timer=t_floor, force_cold=False)
+        fest = floor.results()
+        ferrs = np.array([np.linalg.norm(fest[v][:2] - truth[v][:2])
+                          for v in fest if v in truth])
+        floor_rmse = float(np.sqrt((ferrs ** 2).mean()))
+        print(f"# floor: truth-init batch {floor_rmse:.3f} "
+              f"({t_floor[0]:.1f}s), incremental warm-path "
+              f"{inc_floor_rmse:.3f}", flush=True)
+
+    # ----------------------------------------------------------- flatness
+    walls = np.array([r["wall"] for r in rows])
+    n = len(walls)
+    q2 = float(np.median(walls[n // 4: n // 2])) if n >= 8 else None
+    q4 = float(np.median(walls[3 * n // 4:])) if n >= 8 else None
+    flat_ok = (q2 is None) or (q4 <= 1.5 * q2)
+    spikes = sorted(range(n), key=lambda i: -walls[i])[:10]
+
+    result = {
+        "dataset": tag, "n_poses": n_poses, "n_factors": len(factors),
+        "n_ambiguous": n_mix, "n_steps": len(batches),
+        "total_s": round(total, 1),
+        "median_step_s": round(float(np.median(walls)), 3),
+        "p90_step_s": round(float(np.percentile(walls, 90)), 3),
+        "p99_step_s": round(float(np.percentile(walls, 99)), 3),
+        "q2_median_s": q2 and round(q2, 3),
+        "q4_median_s": q4 and round(q4, 3),
+        "flat_ok_1.5x": bool(flat_ok),
+        "spike_steps": [{"step": int(i), "wall": round(float(walls[i]), 2),
+                         "fit": round(rows[i]["fit"], 2),
+                         "posterior": round(rows[i]["posterior"], 2),
+                         "surgery": round(rows[i]["surgery"], 2)}
+                        for i in spikes],
+        "trans_rmse": round(trans_rmse, 3),
+        "landmark_rmse": round(float(np.sqrt((lmk_errs ** 2).mean())), 3)
+        if len(lmk_errs) else None,
+        "map_floor_rmse": floor_rmse and round(floor_rmse, 3),
+        "incremental_map_rmse": inc_floor_rmse and round(inc_floor_rmse,
+                                                         3),
+        "floor_gate_1.2x": (floor_rmse is None or
+                            trans_rmse <= 1.2 * floor_rmse),
+        "floor_step_s": {
+            "first_quartile_median": round(float(np.median(
+                floor_times[:max(1, len(floor_times) // 4)])), 3),
+            "last_quartile_median": round(float(np.median(
+                floor_times[-max(1, len(floor_times) // 4):])), 3),
+        } if floor_times else None,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result), flush=True)
+    out = f"/tmp/manhattan_{tag}_results.json"
+    with open(out, "w") as fh:
+        json.dump({**result,
+                   "step_rows": [{k: (round(v, 4)
+                                      if isinstance(v, float) else v)
+                                  for k, v in r.items()} for r in rows],
+                   "floor_times": [round(t, 4) for t in floor_times]}, fh)
+    print(f"# wrote {out}", file=sys.stderr)
+    fails = []
+    if not result["flat_ok_1.5x"]:
+        fails.append(f"FLATNESS GATE: q4 median {q4:.3f}s > 1.5x q2 "
+                     f"median {q2:.3f}s")
+    if not result["floor_gate_1.2x"]:
+        fails.append(f"FLOOR GATE: trans RMSE {trans_rmse:.2f} > 1.2x "
+                     f"MAP floor {floor_rmse:.2f}")
+    if fails and not args.limit_steps:
+        print("\n".join("# " + f for f in fails), file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

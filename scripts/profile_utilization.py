@@ -121,6 +121,49 @@ def profile_trainer():
     return rows
 
 
+def profile_batched_trainer():
+    """The bucketed (vmapped) clique trainer at bucket sizes B — the
+    round-3 VERDICT weak #2 measurement: the parallel design claims
+    clique batching recovers the utilization a d=16 flow cannot reach
+    alone (``parallel/scheduler.py`` buckets; ``trainer.py``
+    ``fit_flows_batched``).  Fixed work (no early stop) so the FLOP count
+    is exact; reports throughput (clique-fits/s) and MFU per B."""
+    from nfisam_tpu.train.trainer import _cached_batched_program
+    n, iters = 2000, 500
+    tc = TrainConfig(max_iters=iters, learning_rate=0.025,
+                     loss_delta_tol=0.0)
+    rows = []
+    base_mfu = None
+    for B in (1, 4, 16, 64):
+        prog = _cached_batched_program(CFG, tc, True, n, B)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(B, n, DIM)).astype(np.float32)
+        masks = jnp.asarray(np.zeros((B, DIM), dtype=bool))
+
+        def make_args(r, x=x, masks=masks, B=B):
+            keys = np.zeros((B, 2), dtype=np.uint32)
+            keys[:, 0] = 7
+            keys[:, 1] = np.arange(B) + 1000 * r
+            return (jnp.asarray(keys), x, masks)
+
+        wall, out = timed_keys(prog, make_args, reps=2)
+        it = int(np.asarray(out[2])[0])
+        flops = B * trainer_flops_per_iter(n) * it
+        mfu = flops / wall / PEAK_F32
+        if base_mfu is None:
+            base_mfu = mfu
+        rows.append({"component": "clique_fit_batched", "B": B, "n": n,
+                     "iters": it, "wall_s": round(wall, 4),
+                     "clique_fits_per_s": round(B / wall, 2),
+                     "analytic_flops": flops,
+                     "mfu_f32_pct": round(100 * mfu, 4),
+                     "mfu_recovery_vs_B1": round(mfu / base_mfu, 2)})
+        print(f"clique_fit_batched B={B:>3}: {wall:7.3f} s/call, "
+              f"{B / wall:8.2f} fits/s, MFU {100 * mfu:7.4f}% "
+              f"({mfu / base_mfu:5.2f}x vs B=1)", file=sys.stderr)
+    return rows
+
+
 def profile_fused_pass():
     """The fused posterior scan (16-clique chain) across batch sizes:
     samples/sec curve + MFU at clique scale and saturation."""
@@ -173,14 +216,18 @@ def main():
     backend = jax.default_backend()
     print(f"# backend: {backend}, device: {jax.devices()[0]}",
           file=sys.stderr)
-    rows = profile_trainer() + profile_fused_pass()
+    rows = (profile_trainer() + profile_batched_trainer()
+            + profile_fused_pass())
     fp = [r for r in rows if r["component"] == "fused_posterior_pass"]
     best = max(r["samples_per_s"] for r in fp)
     sat = next(r["n"] for r in fp if r["samples_per_s"] >= 0.7 * best)
     launch_bound = fp[0]["samples_per_s"] < 0.1 * best
+    bt = [r for r in rows if r["component"] == "clique_fit_batched"]
     out = {"backend": backend, "rows": rows,
            "saturation_batch": sat,
            "clique_scale_launch_bound": bool(launch_bound),
+           "batched_trainer_mfu_recovery": bt[-1]["mfu_recovery_vs_B1"]
+           if bt else None,
            "peak_f32_flops": PEAK_F32}
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(HERE), "PROFILE.json"),

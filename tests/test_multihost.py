@@ -33,4 +33,9 @@ def test_two_process_solve_matches_single_process():
     trained = [set(t) for t in result["trained_per_process"]]
     assert all(trained)                      # both processes did real work
     assert trained[0].isdisjoint(trained[1])
-    assert result["worst_translation_mmd_vs_single"] < result["mmd_gate"]
+    assert result["replication_worst_translation_mmd"] < \
+        result["replication_mmd_gate"]
+    assert result["independent_worst_range_mmd"] < \
+        result["independent_range_mmd_gate"]
+    # signed MMD^2 recorded so a clamped-to-zero reading is auditable
+    assert "replication_worst_mmd_sq_signed" in result
