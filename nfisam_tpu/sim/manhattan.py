@@ -25,13 +25,43 @@ from ..factors.factors import (SE2R2RangeGaussianLikelihoodFactor,
                                UnarySE2ApproximateGaussianPriorFactor)
 from ..factors.mixtures import (AmbiguousDataAssociationFactor,
                                 BinaryFactorWithNullHypo)
-from ..core import geometry as geom
 
-import jax.numpy as jnp
+
+# Host-side SE(2) helpers (numpy twins of core/geometry.py:53,81,193).
+# The simulator synthesizes data pose by pose; routing each compose
+# through jnp costs one tunneled-TPU round trip (~0.4-1.3 s) per op —
+# a 1k-pose generation took 30+ minutes before this, milliseconds after.
+
+def _wrap(t):
+    return (t + np.pi) % (2 * np.pi) - np.pi
 
 
 def _compose(a, b):
-    return np.asarray(geom.se2_compose(jnp.asarray(a), jnp.asarray(b)))
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    c, s = np.cos(a[2]), np.sin(a[2])
+    return np.array([a[0] + c * b[0] - s * b[1],
+                     a[1] + s * b[0] + c * b[1],
+                     _wrap(a[2] + b[2])])
+
+
+def _se2_exp(v):
+    vx, vy, w = float(v[0]), float(v[1]), float(v[2])
+    if abs(w) < 1e-9:
+        a, b = 1.0 - w * w / 6.0, w / 2.0 - w ** 3 / 24.0
+    else:
+        a, b = np.sin(w) / w, (1.0 - np.cos(w)) / w
+    return np.array([a * vx - b * vy, b * vx + a * vy, _wrap(w)])
+
+
+def _range_and_bearing(pose, pt):
+    pose = np.asarray(pose, dtype=float)
+    pt = np.asarray(pt, dtype=float)
+    d = pt[:2] - pose[:2]
+    rng = float(np.hypot(d[0], d[1]))
+    c, s = np.cos(-pose[2]), np.sin(-pose[2])
+    local = np.array([c * d[0] - s * d[1], s * d[0] + c * d[1]])
+    return rng, float(np.arctan2(local[1], local[0]))
 
 
 @dataclass
@@ -70,8 +100,7 @@ class GridRobot:
         if self.noise_free_obs:
             return gt_rel
         noise = rng.multivariate_normal(np.zeros(3), self.odom_cov)
-        return _compose(gt_rel, np.asarray(
-            geom.se2_exp(jnp.asarray(noise))))
+        return _compose(gt_rel, _se2_exp(noise))
 
     def select_goal(self, rng, cur_pose: np.ndarray,
                     goals: List[Tuple[float, float]]):
@@ -79,8 +108,8 @@ class GridRobot:
         right, turn-around (reference Agent.py:58-70)."""
         weights = np.zeros(len(goals))
         for i, goal in enumerate(goals):
-            r, b = (float(v) for v in geom.se2_range_and_bearing(
-                jnp.asarray(cur_pose), jnp.asarray(goal, dtype=float)))
+            r, b = _range_and_bearing(cur_pose, np.asarray(goal,
+                                                            dtype=float))
             if abs(b) < 1e-1:
                 weights[i] = self.move_probs[0]
             elif abs(b + np.pi / 2) < 1e-1:
@@ -98,8 +127,8 @@ class GridRobot:
                    tol: float = 1e-4) -> List[np.ndarray]:
         """Relative moves: first a turn-and-step toward the goal, then
         straight steps (reference ``local_path_planner`` Agent.py:73)."""
-        r, b = (float(v) for v in geom.se2_range_and_bearing(
-            jnp.asarray(cur_pose), jnp.asarray(goal_xy, dtype=float)))
+        r, b = _range_and_bearing(cur_pose, np.asarray(goal_xy,
+                                                        dtype=float))
         q, remainder = divmod(r, self.step_scale)
         steps = math.ceil(q)
         if steps > 0:

@@ -244,6 +244,7 @@ class IncrementalGaussNewtonMAP:
     # -------------------------------------------------------- construction
     def update(self, new_nodes: Sequence[Variable],
                new_factors: Sequence[Factor]) -> None:
+        import contextlib
         for v in new_nodes:
             if v in self.offset:
                 continue
@@ -257,7 +258,21 @@ class IncrementalGaussNewtonMAP:
             self._add_factor(f)
             self.factors.append(f)
         if self._x is not None:
-            self._init_new_values(new_nodes, new_factors)
+            # same backend pin as solve(): the ring-scoring evaluates
+            # factor log_pdfs, and on a tunneled-TPU default backend
+            # each call is a ~0.5 s round trip
+            with self._device_ctx():
+                self._init_new_values(new_nodes, new_factors)
+
+    def _device_ctx(self):
+        import contextlib
+        if self.cfg.device:
+            try:
+                return jax.default_device(
+                    jax.devices(self.cfg.device)[0])
+            except RuntimeError:
+                pass
+        return contextlib.nullcontext()
 
     def _prec_chol_lognorm(self, cov: np.ndarray):
         prec = np.linalg.inv(cov)
@@ -384,11 +399,18 @@ class IncrementalGaussNewtonMAP:
                 angs = np.linspace(-np.pi, np.pi, M, endpoint=False)
                 cands.append(c[None] + r * np.stack([np.cos(angs),
                                                      np.sin(angs)], 1))
-            cands = np.concatenate(cands, axis=0)
             if v not in new_set:
                 # keep the incumbent estimate in the running
+                cands.append(x[self.offset[v]:self.offset[v] + 2][None])
+            cands = np.concatenate(cands, axis=0)
+            # pad the candidate count to a pow-2 bucket (repeat the
+            # first candidate): the scorers are jitted per batch shape,
+            # and an arbitrary count per call compiles a fresh program
+            # every step
+            n_pad = _pow2(len(cands), 16) - len(cands)
+            if n_pad:
                 cands = np.concatenate(
-                    [x[self.offset[v]:self.offset[v] + 2][None], cands], 0)
+                    [cands, np.repeat(cands[:1], n_pad, 0)], 0)
             # one batched log_pdf per factor: rows = all candidates
             scores = np.zeros(len(cands))
             for f in all_touch:

@@ -1,0 +1,618 @@
+#!/usr/bin/env python
+"""Regenerate BENCHMARKS.md from committed artifacts.
+
+Round-3 VERDICT weak #1: the doc's numbers drifted from the committed
+JSONs twice in a row because tables were hand-transcribed mid-round.
+This generator is the fix: every current-state number comes from
+``results/*.json`` (written by ``scripts/run_campaign.py``) or the
+root artifacts (PROFILE/MULTIHOST/MULTICHIP); the only static text is
+prose and explicitly-labeled historical sections.
+
+Regenerate with:  python scripts/gen_benchmarks.py
+Verify no drift:  git diff --exit-code BENCHMARKS.md
+"""
+import glob
+import json
+import os
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+RESULTS = os.path.join(REPO, "results")
+OUT = os.path.join(REPO, "BENCHMARKS.md")
+
+
+def load(path):
+    if not os.path.isabs(path):
+        path = os.path.join(RESULTS, path)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def spread(vals, nd=2):
+    v = np.asarray([x for x in vals if x is not None], dtype=float)
+    if len(v) == 0:
+        return "—"
+    if len(v) == 1:
+        return f"{v[0]:.{nd}f} (n=1)"
+    return (f"{np.median(v):.{nd}f} [{v.min():.{nd}f}, "
+            f"{v.max():.{nd}f}] (n={len(v)})")
+
+
+def seeds_of(prefix):
+    out = []
+    base = load(f"{prefix}.json")
+    if base is not None:
+        out.append(base)
+    for p in sorted(glob.glob(os.path.join(RESULTS,
+                                           f"{prefix}_seed*.json"))):
+        if "deferda" in p:
+            continue
+        with open(p) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+L = []
+
+
+def w(s=""):
+    L.append(s)
+
+
+def case1_section():
+    b = load("bench_case1.json")
+    w("## case1 incremental solve (`bench.py`, journal-paper config)")
+    w()
+    w("NSF-AR, K=9, <=2000 Adam iters, 2000 train samples, lr 0.025, "
+      "hidden 8,")
+    w("1000 posterior samples, pose_first, 6 steps.  Reference total: "
+      "32.23 s")
+    w("(committed `run1/step_timing`).  The accuracy gate now covers "
+      "ALL SIX steps:")
+    w("steps 0-3 against the reference's committed dynesty posteriors, "
+      "steps 4-5")
+    w("against the committed in-repo nested-sampling references "
+      "(6-seed pooled,")
+    w("protocol anchored to dynesty step 3 at MMD 0.031-0.045 — "
+      "`data/case1_ref/ns_step45_validation.json`).")
+    w()
+    if b is None:
+        w("*(no results/bench_case1.json — run the campaign)*")
+        w()
+        return
+    runs = b.get("steady_runs_s", [])
+    ph = b.get("phases_per_run", [])
+    w("| | value |")
+    w("|---|---|")
+    w(f"| steady-state total (median of 3 seeds) | **{b['value']} s** "
+      f"(**{b['vs_baseline']}x** vs reference 32.23 s) |")
+    w(f"| per-run steady times | {', '.join(str(t) for t in runs)} s |")
+    w(f"| cold warmup incl. ALL compiles | {b['warmup_s']} s |")
+    w(f"| device bring-up (`tpu_init_s`) | {b['tpu_init_s']} s "
+      f"(environment, not framework) |")
+    w(f"| accuracy gate (6 steps, median seed) | joint MMD "
+      f"**{b['mmd_joint']}** vs reference run1 {b['ref_mmd_joint']} "
+      f"(gate 2x) — {'PASS' if b['accuracy_ok'] else 'FAIL'} |")
+    if b.get("pallas_roundtrip_resid") is not None:
+        w(f"| fused Pallas AR-inverse on hardware | z-space roundtrip "
+          f"residual {b['pallas_roundtrip_resid']:.2e}; gate <= "
+          f"max(4x XLA, 1e-3) enforced |")
+    if ph:
+        worst = max(ph, key=lambda p: p.get("worst_step_s", 0))
+        w(f"| per-run phase split (surgery/fit/posterior) | " +
+          "; ".join(f"{p['surgery_s']}/{p['fit_s']}/{p['posterior_s']}"
+                    for p in ph) +
+          f" s — worst single step {worst['worst_step_s']} s, host GC "
+          f"collections {[p['gc_collections'] for p in ph]} |")
+    w()
+    if runs:
+        sp = (max(runs) - min(runs)) / min(runs)
+        w(f"Run-to-run spread {100 * sp:.0f}% across the steady runs; "
+          f"the per-phase split above attributes it (round-3's "
+          f"unexplained 0.89 s outlier is now instrumented in "
+          f"`bench.py` — phase deltas are printed whenever spread "
+          f"exceeds 20%).")
+        w()
+
+
+def lawnmower_section():
+    w("## lawnmower_4x4 north star (16 SE2 poses, 3 landmarks, 32 "
+      "factors, 40% ambiguous DA)")
+    w()
+    w("Reference spec `lawnmower_4x4/run_nfisam.py:7-27`.  Reference "
+      "side measured")
+    w("on this host at 5 seeds in round 3 (`scripts/refbaseline/`): "
+      "total median")
+    w("**509 s** [322, 569], trans RMSE 3.20 [2.00, 5.66], landmark "
+      "RMSE 6.36")
+    w("[2.10, 11.18] — committed in BASELINE.md.")
+    w()
+    rows = seeds_of("lawnmower")
+    if not rows:
+        w("*(no results/lawnmower*.json — run the campaign)*")
+        w()
+        return
+    d0 = rows[0]
+    steady = [r.get("steady", r).get("trans_rmse") for r in rows]
+    lmk = [r.get("steady", r).get("landmark_rmse") for r in rows]
+    tot = d0["steady"]["total_s"]
+    cold = d0.get("cold", {}).get("total_s")
+    w("| | total wall | trans RMSE | landmark RMSE |")
+    w("|---|---|---|---|")
+    w(f"| nfisam_tpu ({len(rows)} seeds) | steady **{tot} s**"
+      + (f", cold {cold} s" if cold else "")
+      + f" | {spread(steady)} | {spread(lmk)} |")
+    w()
+    w(f"Speedup vs measured reference median: **{509 / tot:.0f}x "
+      f"steady-state" + (f", {509 / cold:.1f}x cold" if cold else "")
+      + "** (target >=10x).  Posterior draws "
+      f"{d0['steady']['posterior_samples_per_sec_per_chip']:.0f} "
+      "samples/sec/chip.  Runner: `scripts/manhattan_run.py [seed]`.")
+    w()
+
+
+def plaza_section():
+    w("## Plaza family (real range-only datasets; spreads over RNG "
+      "streams)")
+    w()
+    w("Reference spec `plaza_dataset/run_nfisam.py:5-21` "
+      "(incremental_step=5, knots 9,")
+    w("<=2000 iters, 2000 train samples, lr .01, pose_first, 1000 "
+      "posterior")
+    w("samples).  The reference ships these configs but no completed "
+      "NF-iSAM")
+    w("artifacts.  Every stream now passes a MECHANICAL divergence "
+      "gate: final-step")
+    w("max posterior-mean error vs the truth-init MAP floor (3x floor "
+      "max, 15 m")
+    w("absolute) and DA resolution >= 0.7; diverged streams are "
+      "marked, not")
+    w("averaged away.")
+    w()
+    any_rows = False
+    w("| dataset | steps | trans RMSE | median step | floor RMSE | "
+      "DA true-weight / resolved | diverged streams |")
+    w("|---|---|---|---|---|---|---|")
+    for ds in ("plaza1", "plaza2", "plaza1_ada0.2", "plaza1_ada0.4",
+               "plaza1_ada0.6"):
+        rows = seeds_of(ds)
+        if not rows:
+            continue
+        any_rows = True
+        rmse = [r["trans_rmse"] for r in rows]
+        med = [r["median_step_s"] for r in rows]
+        floor = [r.get("map_floor_rmse") for r in rows]
+        div = sum(1 for r in rows if r.get("diverged"))
+        hypo = [r["hypo_final"] for r in rows if r.get("hypo_final")]
+        hcol = "—"
+        if hypo:
+            hcol = (spread([h["mean_true_weight"] for h in hypo]) +
+                    " / " + spread([h["resolved_frac"] for h in hypo]))
+        w(f"| {ds} | {rows[0]['n_steps']} | {spread(rmse)} | "
+          f"{spread(med, 3)} s | {spread(floor)} | {hcol} | "
+          f"{div}/{len(rows)} |")
+    w()
+    if not any_rows:
+        w("*(no plaza results — run the campaign)*")
+        w()
+        return
+    base = [r for r in seeds_of("plaza1_ada0.6")]
+    defer = []
+    for p in sorted(glob.glob(os.path.join(
+            RESULTS, "plaza1_ada0.6*deferda.json"))):
+        with open(p) as fh:
+            defer.append(json.load(fh))
+    if defer:
+        w("**Delayed-hypothesis-commitment mitigation (`--defer-da`)** "
+          "— ambiguous")
+        w("factors withheld until every candidate landmark has >=2 "
+          "unambiguous")
+        w("factors (bounded +6 steps); same seeds re-run on "
+          "plaza1_ada0.6:")
+        w()
+        w("| arm | trans RMSE | max err | diverged streams |")
+        w("|---|---|---|---|")
+        w(f"| baseline | {spread([r['trans_rmse'] for r in base])} | "
+          f"{spread([r['max_err'] for r in base])} | "
+          f"{sum(1 for r in base if r.get('diverged'))}/{len(base)} |")
+        w(f"| defer-da | {spread([r['trans_rmse'] for r in defer])} | "
+          f"{spread([r['max_err'] for r in defer])} | "
+          f"{sum(1 for r in defer if r.get('diverged'))}/{len(defer)} |")
+        w()
+    w("Runner: `scripts/plaza_family_run.py <dataset> [seed] "
+      "[--defer-da]`.")
+    w()
+
+
+def manhattan_plaza_section():
+    d = load("manhattan_plaza.json")
+    w("## manhattan_plaza (136 poses, 59 ambiguous-DA ranges)")
+    w()
+    w("Reference spec `manhattan_plaza/run_nfisam.py` (500 iters, lr "
+      ".01,")
+    w("incremental_step=1), run through the full "
+      "`nfisam_empirical_study` ->")
+    w("`run_incrementally` harness.  GATED on trans RMSE <= 1.1x the "
+      "Gaussian MAP")
+    w("floor (exit 1).")
+    w()
+    if d is None:
+        w("*(no results/manhattan_plaza.json — run the campaign)*")
+        w()
+        return
+    w("| | value |")
+    w("|---|---|")
+    w(f"| solver wall-clock / median step | {d['total_s']} s total, "
+      f"{d['solve_s']} s solve / **{d['median_step_s']} s** "
+      f"({d['n_steps']} steps) |")
+    w(f"| trans / landmark RMSE | **{d['trans_rmse']} / "
+      f"{d['landmark_rmse']} m** |")
+    w(f"| MAP floor (trans / landmark) | {d['map_floor_trans_rmse']} / "
+      f"{d['map_floor_landmark_rmse']} m |")
+    w(f"| floor gate (<= 1.1x) | "
+      f"{'**pass**' if d['floor_gate_1.1x'] else '**FAIL**'} |")
+    w()
+    w("Runner: `scripts/manhattan_plaza_run.py`.")
+    w()
+
+
+def scale_section():
+    d = load("manhattan_scale.json")
+    w("## Manhattan SCALE workload — past the reference's ceiling")
+    w()
+    w("The reference's largest workload is Plaza1 (778 poses / 156 "
+      "steps); this")
+    w("one is generated by our simulator (reference spec being scaled: ")
+    w("`src/manhattan_world_with_range/Simulator.py:12-116`) and run "
+      "fully")
+    w("incrementally, one pose per step — the first workload big "
+      "enough to")
+    w("exercise posterior-buffer growth, bucket-population growth and "
+      "host-side")
+    w("graph surgery at scale (round-3 VERDICT top item).")
+    w()
+    if d is None:
+        w("*(no results/manhattan_scale.json — run "
+          "`scripts/manhattan_scale_run.py`)*")
+        w()
+        return
+    w(f"Workload: **{d['n_poses']} SE2 poses**, "
+      f"{d['n_factors']} factors ({d['n_ambiguous']} ambiguous-DA), "
+      f"{d['n_steps']} incremental steps, backend {d['backend']}.")
+    w()
+    w("| | value |")
+    w("|---|---|")
+    w(f"| total wall | **{d['total_s']} s** |")
+    w(f"| median / p90 / p99 step | **{d['median_step_s']} / "
+      f"{d['p90_step_s']} / {d['p99_step_s']} s** |")
+    w(f"| flatness (2nd-quartile median vs last-quartile median) | "
+      f"{d['q2_median_s']} s vs {d['q4_median_s']} s — gate 1.5x "
+      f"{'**pass**' if d['flat_ok_1.5x'] else '**FAIL**'} |")
+    w(f"| trans / landmark RMSE | {d['trans_rmse']} / "
+      f"{d['landmark_rmse']} m |")
+    w(f"| truth-init MAP floor RMSE (gate <= 1.2x) | "
+      f"{d['map_floor_rmse']} m — "
+      f"{'**pass**' if d['floor_gate_1.2x'] else '**FAIL**'} |")
+    w(f"| incremental warm-started MAP (ISAM2-analog) RMSE | "
+      f"{d['incremental_map_rmse']} m |")
+    if d.get("floor_step_s"):
+        f = d["floor_step_s"]
+        w(f"| per-step floor cost (first vs last quartile median) | "
+          f"{f['first_quartile_median']} s -> "
+          f"{f['last_quartile_median']} s (flat by construction: "
+          f"warm-start + pow-2 bucket program reuse) |")
+    w()
+    w("Top recompile spikes (step / wall / dominant phase): " +
+      "; ".join(f"{s['step']}: {s['wall']} s "
+                f"({max(('fit', s['fit']), ('posterior', s['posterior']), ('surgery', s['surgery']), key=lambda kv: kv[1])[0]})"
+                for s in d["spike_steps"][:5]) + ".")
+    w()
+    w("Runner: `scripts/manhattan_scale_run.py` (generates "
+      "`data/manhattan_scale_*.fg` deterministically).")
+    w()
+
+
+def random4x4_section():
+    d = load("random_4x4_sweep.json")
+    w("## random_4x4 10-seed sweep")
+    w()
+    if d is None:
+        w("*(no results/random_4x4_sweep.json — run the campaign)*")
+        w()
+        return
+    per = d.get("per_seed", [])
+    w("| | value |")
+    w("|---|---|")
+    w(f"| all 10 seeds end-to-end | **{d.get('total_s_all', '—')} s** "
+      f"|")
+    w(f"| median per-seed wall | {d.get('median_seed_s', '—')} s |")
+    if per:
+        w(f"| median trans RMSE | {d.get('median_rmse', '—')} m "
+          f"(per-seed {min(p['trans_rmse'] for p in per):.1f}-"
+          f"{max(p['trans_rmse'] for p in per):.1f}) |")
+    w()
+    w("On the hardest seeds the Gaussian MAP floor errs far worse than "
+      "the flow")
+    w("posterior mean (round 2: seed 3 MAP 211 m vs flows 27 m) — the "
+      "regime")
+    w("NF-iSAM exists for.  Runner: `scripts/random_4x4_sweep.py`.")
+    w()
+
+
+def case1_da_section():
+    d = load("case1_da.json")
+    w("## case1_da: ambiguous data association end-to-end")
+    w()
+    if d is None:
+        w("*(no results/case1_da.json — run the campaign)*")
+        w()
+        return
+    w("Weight on the TRUE association at the final step (oracle: "
+      "dynamic NS on")
+    w("the final graph — the reference ships no completed artifacts):")
+    w()
+    w("| observer | true lmk | flow posterior | dynamic-NS oracle |")
+    w("|---|---|---|---|")
+    true_assoc = d.get("true_assoc", {})
+    fw = d.get("final_weights", {})
+    ow = d.get("ns_oracle_weights", {})
+    for obs, lmk in true_assoc.items():
+        idx = int(lmk[1:]) - 1   # L1 -> component 0, L2 -> 1
+        flow = fw.get(obs, [None] * (idx + 1))[idx]
+        orac = ow.get(obs, [None] * (idx + 1))[idx]
+        w(f"| {obs} | {lmk} | {flow} | {orac} |")
+    if d.get("total_s"):
+        w()
+        w(f"Solver total {d['total_s']} s (NS oracle logz "
+          f"{d.get('ns_logz', '—')}).  Runner: "
+          f"`scripts/case1_da_run.py`.")
+    w()
+
+
+def native_section():
+    d = load("native_fg_solver.json")
+    w("## Native C++ MAP solver (`native/fg_solver.cc`)")
+    w()
+    w("Self-contained LM over the .fg grammar — the native counterpart "
+      "of the")
+    w("reference's GTSAM harness (`gtsam_solution.cpp:43-120`; "
+      "reference GTSAM")
+    w("per-step timings on case1: 2.8-4.3 ms, "
+      "`icra_paper/case1/gtsam/timing`).")
+    w("CI parity: its MAP must match the JAX LM solver per variable")
+    w("(`tests/test_native_fg_solver.py`).")
+    w()
+    if d is None:
+        w("*(no results/native_fg_solver.json — run the campaign)*")
+        w()
+        return
+    w("| dataset | vars | factors | iters | solve | trans RMSE vs "
+      "truth |")
+    w("|---|---|---|---|---|---|")
+    for ds, r in d.items():
+        w(f"| {ds} | {r['vars']} | {r['factors']} | {r['iters']} | "
+          f"**{r['solve_ms']} ms** | {r['trans_rmse']} m |")
+    w()
+    w("(lawnmower skips its 6 ambiguous-DA factors — the native "
+      "solver covers")
+    w("the Gaussian factor set, like the reference's GTSAM harness "
+      "did.)")
+    w()
+
+
+def ns_section():
+    w("## Nested sampling (case1 step-5 graph, 22 dims)")
+    w()
+    w("**Historical (round-3 measured, machinery unchanged this "
+      "round).**  In-JAX")
+    w("batched NS (the reference's dynesty made 5.18M per-point "
+      "Python calls):")
+    w()
+    w("| estimator | logz | ncall |")
+    w("|---|---|---|")
+    w("| brute-force IS, 24M prior draws (truth) | **-19.462 +- 0.014**"
+      " | 24,000,000 |")
+    w("| reference dynesty (committed `dyn1/step5.summary`) | -19.561 "
+      "+- 0.129 | 5,177,923 |")
+    w("| static NS rslice, seeds 1-3 | -19.353 / -19.580 / -19.523 "
+      "(+-0.10) | 652-667k |")
+    w("| static NS grad (reflective slice), seeds 1-3 | -19.289 / "
+      "-19.689 / -19.577 (+-0.10) | 762-786k |")
+    w("| dynamic NS, 8 seeds | mean bias **+0.010 +- 0.047** | "
+      "858k-1.35M |")
+    w()
+    v = load(os.path.join(REPO, "data", "case1_ref",
+                          "ns_step45_validation.json"))
+    if v:
+        w("**New this round**: the validated NS stack generated the "
+          "committed")
+        w("case1 step-4/5 posterior references (6-seed pooled).  "
+          "Protocol anchor:")
+        w(f"NS-vs-committed-dynesty at step 3 MMD "
+          f"{v['anchor_ns_vs_dynesty_step3']}; step-4 seed-pair MMD "
+          f"median {np.median(v['step4']['seed_pair_mmd']):.3f}, "
+          f"step-5 {np.median(v['step5']['seed_pair_mmd']):.3f} "
+          f"(multimodal ring posteriors; spread committed in "
+          f"`ns_step45_validation.json`).")
+        w()
+
+
+def utilization_section():
+    d = load("profile.json") or load(os.path.join(REPO, "PROFILE.json"))
+    w("## Device utilization (`scripts/profile_utilization.py`, "
+      "PROFILE.json)")
+    w()
+    w("Analytic-FLOP MFU vs the v5e f32 MXU peak (98.5 TF/s).")
+    w()
+    if d is None:
+        w("*(no PROFILE.json)*")
+        w()
+        return
+    w("| program | batch | wall | throughput | MFU (f32 peak) |")
+    w("|---|---|---|---|---|")
+    for r in d["rows"]:
+        if r["component"] == "clique_fit":
+            w(f"| clique fit ({r['iters']} Adam iters) | n={r['n']} | "
+              f"{r['per_iter_us']} us/iter | — | {r['mfu_f32_pct']}% |")
+        elif r["component"] == "clique_fit_batched":
+            w(f"| **bucketed** clique fit (B={r['B']}, {r['iters']} "
+              f"iters) | n={r['n']} | {r['wall_s']} s/call | "
+              f"{r['clique_fits_per_s']} fits/s | {r['mfu_f32_pct']}% "
+              f"({r['mfu_recovery_vs_B1']}x vs B=1) |")
+        else:
+            w(f"| fused posterior pass | n={r['n']} | "
+              f"{r['wall_s'] * 1e3:.1f} ms/call | "
+              f"{r['samples_per_s'] / 1e6:.2f} M samples/s | "
+              f"{r['mfu_f32_pct']}% |")
+    w()
+    rec = d.get("batched_trainer_mfu_recovery")
+    if rec:
+        w(f"The bucketed (vmapped) trainer recovers **{rec}x** the "
+          f"single-clique MFU at B=64 — the measured answer to \"can "
+          f"the parallel design use the chip\" (round-3 weak #2): "
+          f"clique batching, not bigger flows, is how this workload "
+          f"scales onto the MXU.  A d=16/h=8 conditioner occupies <1% "
+          f"of the 128x128 systolic array by construction; utilization "
+          f"comes from batching independent cliques, and the B-sweep "
+          f"quantifies exactly how much.")
+        w()
+
+
+def multichip_section():
+    mh = load(os.path.join(REPO, "MULTIHOST.json"))
+    w("## Multi-chip and multi-host validation")
+    w()
+    w("- `dryrun_multichip` (8 virtual devices, 2x4 clique x data "
+      "mesh): full")
+    w("  ParallelNFiSAM case1 solve; fused posterior buffer asserted "
+      "sharded and")
+    w("  the mesh-vs-single posterior gated on joint translation MMD "
+      "< 0.05")
+    w("  (round-3 measured 0.0000).")
+    if mh:
+        w(f"- `dryrun_multihost` (2 processes x 4 devices, "
+          f"`jax.distributed`): disjoint")
+        w(f"  per-process chunks "
+          f"({len(mh['trained_per_process'][0])} + "
+          f"{len(mh['trained_per_process'][1])} cliques), one "
+          f"`process_allgather`; REPLICATION gate (same seed): worst "
+          f"translation MMD {mh['replication_worst_translation_mmd']} "
+          f"(signed MMD^2 "
+          f"{mh['replication_worst_mmd_sq_signed']:.1e} — recorded so "
+          f"the clamp is auditable); INDEPENDENCE gate (decorrelated "
+          f"seed, mode-invariant range statistic): "
+          f"{mh['independent_worst_range_mmd']:.4f} vs gate "
+          f"{mh['independent_range_mmd_gate']:.4f} (= 2x measured "
+          f"single-process seed variance).  "
+          f"`tests/test_multihost.py` runs it in CI.")
+    w()
+
+
+def checkpoint_section():
+    w("## Checkpoint / resume")
+    w()
+    w("Round-2 measurement (unchanged subsystem): case1 full solve "
+      "29.3 s cold")
+    w("-> 0.12 s warm restart from the clique-model store")
+    w("(`solver/checkpoint.py`, content-signature keyed).")
+    w()
+
+
+def history_section():
+    w("---")
+    w()
+    w("# Appendix: history and superseded measurements")
+    w()
+    w("- **Round 1**: case1 steady 1.26 s (25.6x); warmup ~30-42 s; "
+      "trainer")
+    w("  hot-loop 1.5 ms/iter initial, 0.21 ms/iter after "
+      "flattened-vector Adam.")
+    w("- **Round 2**: fused Pallas AR-inverse adopted (23x "
+      "per-inverse at n=1000");
+    w("  vs the XLA path standalone); fused root-to-leaf posterior "
+      "pass (Plaza1")
+    w("  156-step total 148.6 s -> 64.6 s); wavefront scheduler; "
+      "accuracy-gated")
+    w("  bench; warmup regression traced to device bring-up.")
+    w("- **Round 3**: cold start 207 s -> 14.4 s via concurrent "
+      "prewarm + pow-2")
+    w("  dim buckets; dynamic-NS evidence bias closed (+0.010 +- "
+      "0.047); 2-host")
+    w("  execution path; MFU accounting; lawnmower reference measured "
+      "at 5 seeds")
+    w("  on this host (509 s median; landmark RMSE 6.36 vs ours 3.56).")
+    w("- **Round 4 fixes with measured symptoms**: SMC MH kernel "
+      "missing the")
+    w("  ancestral-prior ratio (+30% variance on the Gaussian oracle, "
+      "uniform")
+    w("  instead of weighted ring arc); NUTS merging subtrees without "
+      "internal")
+    w("  U-turn checks (ring-arc std 1.15 vs analytic 0.70; fixed via "
+      "canonical")
+    w("  checkpoint scheme, converges to 0.673/0.697); banked-MAP "
+      "NaN-poisoned")
+    w("  Hessian-vector products from pad-row norm(0) gradients "
+      "(every LM step")
+    w("  silently rejected); simulator has_da sticky across the walk "
+      "(capped")
+    w("  every generated workload at ONE ambiguous factor).")
+    w("- **Negative result (round 2, kernel removed in round 3)**: a "
+      "standalone")
+    w("  elementwise RQS Pallas kernel measured at PARITY with XLA's "
+      "own fusion;")
+    w("  the only win is fusing ACROSS the sequential AR dim loop, "
+      "which")
+    w("  `flows/ar_inverse_pallas.py` does.")
+    w("- **Caesar bridge caveat**: `io/caesar.py` emission is pinned "
+      "to a vendored")
+    w("  RoME/IncrementalInference API surface "
+      "(`tests/test_caesar_surface.py`);")
+    w("  no Julia runtime exists in this image, so emitted scripts "
+      "are validated")
+    w("  statically, not executed against live Caesar (the reference "
+      "ran its")
+    w("  bridge out-of-band the same way).")
+
+
+def main():
+    w("# Measured results — current state (round 4)")
+    w()
+    w("**This file is GENERATED** — edit `scripts/gen_benchmarks.py`, "
+      "not this file.")
+    w("Regenerate: `python scripts/run_campaign.py` (full campaign) or")
+    w("`python scripts/gen_benchmarks.py` (doc only, from committed "
+      "`results/`).")
+    w()
+    w("All numbers measured in this repository on the machine's TPU "
+      "v5e (1 chip,")
+    w("tunneled) unless stated; per-run artifacts live in `results/` "
+      "(committed).")
+    w("Reference baselines are committed artifacts cited in "
+      "BASELINE.md or the")
+    w("actual reference code executed on this host "
+      "(`scripts/refbaseline/`).")
+    w()
+    case1_section()
+    lawnmower_section()
+    plaza_section()
+    manhattan_plaza_section()
+    scale_section()
+    random4x4_section()
+    case1_da_section()
+    native_section()
+    ns_section()
+    utilization_section()
+    multichip_section()
+    checkpoint_section()
+    history_section()
+    with open(OUT, "w") as fh:
+        fh.write("\n".join(L) + "\n")
+    print(f"wrote {OUT} ({len(L)} lines)")
+
+
+if __name__ == "__main__":
+    main()
