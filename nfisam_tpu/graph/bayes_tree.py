@@ -75,11 +75,20 @@ class CliqueNode:
                           separator=set(self.separator))
 
     def deep_copy(self) -> "CliqueNode":
-        """Copy this clique and its whole subtree (parent left None)."""
-        new = self.shallow_copy()
-        for child in self.children:
-            new.attach_child(child.deep_copy())
-        return new
+        """Copy this clique and its whole subtree (parent left None).
+
+        Iterative: pose_first trees of long trajectories are CHAINS with
+        depth == clique count, and the recursive form blew Python's
+        stack at ~1000 poses (found by the 1024-pose scale run)."""
+        root_copy = self.shallow_copy()
+        stack = [(self, root_copy)]
+        while stack:
+            src, dst = stack.pop()
+            for child in src.children:
+                child_copy = child.shallow_copy()
+                dst.attach_child(child_copy)
+                stack.append((child, child_copy))
+        return root_copy
 
     # ------------------------------------------------------------ identity
     def __eq__(self, other) -> bool:

@@ -211,3 +211,26 @@ def test_incremental_tree_update_cycle():
             assert v not in seen
             seen.add(v)
     assert seen == set(g.vars) | {x6}
+
+
+def test_deep_chain_tree_copy_and_prune():
+    """pose_first trees of long trajectories are chains (depth == clique
+    count); deep_copy/prune must not recurse — the recursive form blew
+    the Python stack at ~1000 poses (found by the 1024-pose scale run)."""
+    from nfisam_tpu.core import SE2Variable
+    from nfisam_tpu.graph.bayes_tree import BayesTree, CliqueNode
+
+    n = 1500
+    vs = [SE2Variable(f"X{i}") for i in range(n)]
+    root = CliqueNode(frontal=vs[0])
+    tree = BayesTree(root=root)
+    cur = root
+    for i in range(1, n):
+        child = CliqueNode(frontal=vs[i], separator={vs[i - 1]})
+        cur.attach_child(child)
+        cur = child
+    copied = tree.copy()
+    assert len(copied.clique_nodes) == n
+    affected, detached = tree.prune_affected({vs[0]})
+    assert vs[0] in affected
+    assert len(detached) == 1   # the long unaffected chain detaches
