@@ -166,6 +166,17 @@ def fused_sample_posterior(solver, num_samples: int
             buffer = jax.device_put(buffer,
                                     NamedSharding(mesh, P(axis, None)))
 
+    # stacked-parameter cache: stacking L~1000 per-clique pytrees costs
+    # O(L) host dispatches PER STEP, and the long prefix of an
+    # incremental run's topo order is unchanged between steps — the
+    # 1024-pose scale run measured posterior host time creeping from
+    # 0.01 s to 0.17 s/step from exactly this.  Keyed on the cliques'
+    # content tags (stamped at training time), so any retrained clique
+    # misses.
+    stack_cache = getattr(solver, "_fused_stack_cache", None)
+    if stack_cache is None:
+        stack_cache = solver._fused_stack_cache = {}
+
     for run_specs in runs:
         cfg = run_specs[0][1].cfg
         dim = cfg.dim
@@ -215,9 +226,26 @@ def fused_sample_posterior(solver, num_samples: int
             circs[i] = circs[L - 1]
             keys.append(pad_keys[i - L])
 
+        tags = tuple(m.content_tag for _, m, *_ in run_specs)
+        if all(tags):
+            cache_key = (cfg, L_pad, tags)
+            cached = stack_cache.get(cache_key)
+            if cached is None:
+                cached = (_stack_tree(params), _jstack(*means),
+                          _jstack(*stds))
+                if len(stack_cache) >= 8:
+                    stack_cache.pop(next(iter(stack_cache)))
+                stack_cache[cache_key] = cached
+        else:
+            # a model without a content tag (e.g. restored via an old
+            # checkpoint) cannot be identity-keyed — stack fresh
+            cached = (_stack_tree(params), _jstack(*means),
+                      _jstack(*stds))
+        p_stack, m_stack, s_stack = cached
+
         program = _fused_chain_program(cfg)
-        buffer = program(buffer, _stack_tree(params), _jstack(*means),
-                         _jstack(*stds), jnp.asarray(circs),
+        buffer = program(buffer, p_stack, m_stack,
+                         s_stack, jnp.asarray(circs),
                          jnp.asarray(src), jnp.asarray(omask),
                          jnp.asarray(ovals), jnp.asarray(imask),
                          jnp.asarray(dst), jnp.asarray(np.stack(keys)))
@@ -251,3 +279,13 @@ class LazySamples(Mapping):
 
     def __len__(self):
         return len(self._col_of)
+
+    def materialize(self) -> Dict:
+        """All variables as host numpy arrays with ONE device fetch.
+
+        Iterating and ``np.asarray``-ing per variable costs one tunnel
+        round trip each — ~1,000 variables at 0.1-0.5 s apiece turned
+        the 1024-pose scale run's final accuracy pass into minutes."""
+        buf = np.asarray(self._buffer)
+        return {v: buf[:, col:col + v.dim]
+                for v, col in self._col_of.items()}

@@ -160,6 +160,8 @@ def main():
     total = time.time() - t_all
 
     # ----------------------------------------------------------- accuracy
+    if hasattr(samples, "materialize"):
+        samples = samples.materialize()
     means = {v: np.asarray(samples[v]).mean(0) for v in samples}
     errs = np.array([np.linalg.norm(means[v][:2] - truth[v][:2])
                      for v in samples if v in truth])
