@@ -108,11 +108,17 @@ def solve_once(nodes, factors, seed, collect_steps=False,
         t_post += t3 - t2
         worst_step = max(worst_step, t3 - ts)
         if collect_steps:
-            per_step.append({v: np.asarray(s) for v, s in samples.items()})
-    # force completion of any async device work
+            step_s = samples.materialize() if hasattr(
+                samples, "materialize") else {
+                v: np.asarray(x) for v, x in samples.items()}
+            per_step.append(step_s)
+    # force completion of any async device work (one fetch)
     t4 = time.time()
-    for v, s in samples.items():
-        np.asarray(s)
+    if hasattr(samples, "materialize"):
+        samples = samples.materialize()
+    else:
+        for v, s in samples.items():
+            np.asarray(s)
     total = time.time() - t0
     if phases is not None:
         gc1 = gc.get_stats()

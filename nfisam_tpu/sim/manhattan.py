@@ -76,6 +76,14 @@ class SimulationArgs:
     seed: int = 0
     range_std: float = 4.0
     max_da_lmk: int = 3
+    # sensing radius: 0/inf disables (reference parity — its grids were
+    # small enough that everything was in range).  Real range sensors
+    # (the Plaza UWB beacons) top out at tens of meters; unbounded
+    # ranges on large worlds produce ~300 m ambiguous rings that no
+    # commit-as-you-go solver recovers from (measured: 1024-pose
+    # unbounded run diverged to 258 m RMSE while its truth-init MAP
+    # floor was 1.1 m — results/manhattan_scale_unbounded_range.json).
+    max_sensing_range: float = 0.0
 
 
 @dataclass(eq=False)
@@ -287,7 +295,15 @@ class ManhattanSimulator:
         env, args, rng = self.env, self.args, self.rng
         if not env.landmarks:
             return
-        lmk = env.landmarks[rng.integers(len(env.landmarks))]
+        visible = env.landmarks
+        if args.max_sensing_range and np.isfinite(args.max_sensing_range):
+            visible = [l for l in env.landmarks
+                       if np.linalg.norm(env.landmark_points[l]
+                                         - cur_pose[:2])
+                       <= args.max_sensing_range]
+            if not visible:
+                return
+        lmk = visible[rng.integers(len(visible))]
         lmk_pt = env.landmark_points[lmk]
         if rng.random() >= args.range_sensing_prob:
             return
@@ -299,12 +315,18 @@ class ManhattanSimulator:
         odd = rng.random()
         known = set(lmk_vars)
 
-        if len(lmk_vars) > args.max_da_lmk:
-            others = [v for v in lmk_vars if v != var]
+        others = [v for v in lmk_vars if v != var]
+        if args.max_sensing_range and np.isfinite(args.max_sensing_range):
+            # confusable candidates are the ones the sensor could
+            # actually be hearing — landmarks inside the sensing radius
+            others = [v for v in others
+                      if np.linalg.norm(np.asarray(var2truth[v])[:2]
+                                        - cur_pose[:2])
+                      <= args.max_sensing_range]
+        if len(others) > args.max_da_lmk - 1:
             rng.shuffle(others)
-            observed = [var] + others[:args.max_da_lmk - 1]
-        else:
-            observed = [var] + [v for v in lmk_vars if v != var]
+            others = others[:args.max_da_lmk - 1]
+        observed = [var] + others
 
         if odd < args.outlier_prob:
             if var not in known:
@@ -319,7 +341,7 @@ class ManhattanSimulator:
                 null_sigma_scale=args.outlier_scale))
         elif (odd < args.outlier_prob +
               args.ambiguous_data_association_prob and var in known and
-              len(lmk_vars) > 1 and not has_da[0]):
+              len(observed) > 1 and not has_da[0]):
             factors.append(AmbiguousDataAssociationFactor(
                 observer_var=rbt_var, observed_vars=observed,
                 weights=np.ones(len(observed)) / len(observed),

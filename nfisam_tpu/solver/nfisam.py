@@ -55,6 +55,15 @@ class NFiSAMArgs(SolverArgs):
     # a positive value pads to that multiple instead (legacy behavior)
     pad_dim_multiple: int = 0
     dim_bucket_floor: int = 16
+    # capacity scaling: conditioner width grows with clique dim
+    # (hidden = max(hidden_dim, aug_dim // 2)).  A hidden=8 flow cannot
+    # fit the 50-dim cliques that many-landmark graphs produce under
+    # pose_first elimination (measured: 1024-pose/24-landmark run
+    # diverged to 250+ m RMSE; separators carried ~25 variables).  The
+    # wider conditioners cost FLOPs the chip has spare by orders of
+    # magnitude (PROFILE.json MFU <1%), and dims <= 2*hidden_dim are
+    # unaffected, so every small-clique benchmark signature is unchanged.
+    scale_hidden_with_dim: bool = True
 
     def json_str(self) -> str:
         d = {k: v for k, v in self.__dict__.items()
@@ -70,6 +79,14 @@ class NFiSAMArgs(SolverArgs):
             validation_interval=self.validation_interval,
             slower_stop_rate=self.slower_stop_rate,
             training_set_frac=self.training_set_frac)
+
+
+def effective_hidden_dim(args, aug_dim: int) -> int:
+    """Conditioner width for a clique of ``aug_dim`` columns (see
+    ``NFiSAMArgs.scale_hidden_with_dim``)."""
+    if getattr(args, "scale_hidden_with_dim", True):
+        return max(int(args.hidden_dim), int(aug_dim) // 2)
+    return int(args.hidden_dim)
 
 
 class FlowModelAdapter(ConditionalSampler):
@@ -263,7 +280,8 @@ class NFiSAM(FactorGraphSolver):
             raise NotImplementedError(
                 f"Unknown flow type {self._args.flow_type}")
         return NSFConfig(dim=aug_dim, num_knots=self._args.num_knots,
-                         hidden_dim=self._args.hidden_dim,
+                         hidden_dim=effective_hidden_dim(self._args,
+                                                         aug_dim),
                          num_flows=self._args.flow_number, circular=circ)
 
     def _dim_bucket(self, aug_dim: int) -> int:

@@ -52,8 +52,9 @@ _lock = threading.Lock()
 
 def _cfg_for(args, dim: int):
     from ..flows.nsf import NSFConfig
+    from ..solver.nfisam import effective_hidden_dim
     return NSFConfig(dim=dim, num_knots=args.num_knots,
-                     hidden_dim=args.hidden_dim,
+                     hidden_dim=effective_hidden_dim(args, dim),
                      num_flows=args.flow_number, circular=())
 
 

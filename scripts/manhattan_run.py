@@ -87,6 +87,8 @@ def run_once(tag):
               flush=True)
     total = time.time() - t_all
 
+    if hasattr(samples, "materialize"):
+        samples = samples.materialize()   # ONE device fetch for all vars
     errs, lmk_errs = [], []
     for v in samples:
         if v not in truth:

@@ -56,18 +56,25 @@ from nfisam_tpu.solver.banked_joint import (  # noqa: E402
 
 
 def generate(path, grid=32, cell=10.0, n_landmarks=24, seed=7,
-             ada_prob=0.2, range_std=2.0, range_prob=0.8):
+             ada_prob=0.2, range_std=2.0, range_prob=0.8,
+             sensing_range=60.0):
     """Deterministic dataset generation; cached on disk.
 
-    ``range_prob`` 0.8 gives each landmark ~grid^2 * 0.8 / n_landmarks
-    range hits from many lawnmower rows — enough geometry to resolve
-    the mirror ring modes that collinear single-row observations leave
-    ambiguous."""
+    Landmarks are SCATTERED over the grid interior (UWB-beacon style)
+    and the sensor has a finite ``sensing_range``: the unbounded-range
+    variant produced ~300 m ambiguous rings to far landmarks that no
+    commit-as-you-go solver recovers from (kept as a documented stress
+    result, ``results/manhattan_scale_unbounded_range.json``) — real
+    range sensors (the Plaza UWB beacons) top out at tens of meters."""
     from nfisam_tpu.sim import (GridBeacon, GridRobot, ManhattanGrid,
                                 ManhattanSimulator, SimulationArgs)
     env = ManhattanGrid((grid + 2, grid + 2), cell,
                         robot_area=[(1, 1), (grid, grid)])
     rng = np.random.default_rng(seed)
+    # scatter beacons over the whole grid (interior included): with a
+    # finite sensing radius, boundary-only placement would leave the
+    # interior of the sweep unanchored entirely
+    env.landmark_feasibility[:] = True
     cand = np.argwhere(env.landmark_feasibility)
     order = rng.permutation(len(cand))
     placed = 0
@@ -82,7 +89,8 @@ def generate(path, grid=32, cell=10.0, n_landmarks=24, seed=7,
     env.add_robot(rbt, 1, 1)
     sim = ManhattanSimulator(env, SimulationArgs(
         range_sensing_prob=range_prob, seed=seed, range_std=range_std,
-        ambiguous_data_association_prob=ada_prob, max_da_lmk=3))
+        ambiguous_data_association_prob=ada_prob, max_da_lmk=3,
+        max_sensing_range=sensing_range))
     wps = env.lawnmower_path()[1:]
     rbt_vars, lmk_vars, factors, var2truth = sim.waypoint_slam(rbt, wps)
     nodes = rbt_vars + lmk_vars
@@ -100,14 +108,35 @@ def main():
     ap.add_argument("--limit-steps", type=int, default=0)
     ap.add_argument("--no-floor", action="store_true")
     ap.add_argument("--iters", type=int, default=500)
+    ap.add_argument("--err-every", type=int, default=64,
+                    help="record running trans RMSE every K steps "
+                         "(one posterior fetch each)")
+    ap.add_argument("--sensing", type=float, default=60.0,
+                    help="max sensing range in meters (0 = unbounded)")
+    ap.add_argument("--range-prob", type=float, default=0.8)
+    # ccolamd is NOT optional at this landmark count: pose_first
+    # elimination drags every landmark seen so far through the
+    # pose-chain separators (measured: 667 of 1023 cliques at the
+    # 64-dim bucket, separators of 25 variables — far past what a
+    # hidden=8 flow can fit, and the posterior collapsed to 250+ m
+    # RMSE).  Constrained min-degree keeps 951 of 1022 cliques in the
+    # 16-dim bucket (max dim 28).  This is exactly why the reference
+    # ships ccolamd (src/factor_graph/factor_graph.py ordering modes).
+    ap.add_argument("--ordering", default="ccolamd",
+                    choices=["ccolamd", "pose_first", "natural"])
     args = ap.parse_args()
 
     tag = f"scale_g{args.grid}_l{args.landmarks}_ada{args.ada}"
+    if args.sensing:
+        tag += f"_s{args.sensing:g}"
+    if args.range_prob != 0.8:
+        tag += f"_rp{args.range_prob:g}"
     fg_path = os.path.join(REPO, "data", f"manhattan_{tag}.fg")
     if not os.path.exists(fg_path):
         print(f"# generating {fg_path}", flush=True)
         generate(fg_path, grid=args.grid, n_landmarks=args.landmarks,
-                 ada_prob=args.ada)
+                 ada_prob=args.ada, sensing_range=args.sensing,
+                 range_prob=args.range_prob)
     nodes, truth, factors = graph_file_parser(fg_path, "fg")
     n_poses = sum(1 for v in nodes if v.dim == 3)
     n_mix = sum(1 for f in factors if len(f.vars) > 2)
@@ -122,13 +151,14 @@ def main():
     solver_args = NFiSAMArgs(
         posterior_sample_num=1000, local_sample_num=2000,
         flow_iterations=args.iters, num_knots=9, learning_rate=0.01,
-        hidden_dim=8, elimination_method="pose_first", seed=args.seed)
+        hidden_dim=8, elimination_method=args.ordering, seed=args.seed)
     solver = ParallelNFiSAM(solver_args)
     floor = None if args.no_floor else IncrementalGaussNewtonMAP(
         IncMAPConfig())
 
     rows = []
     floor_times = []
+    err_curve = []
     samples = None
     t_all = time.time()
     for i, (ns, fs) in enumerate(batches):
@@ -151,6 +181,19 @@ def main():
             floor.update(ns, fs)
             floor.solve(timer=tf)
             floor_times.append(tf[0])
+        if args.err_every and (i % args.err_every == 0 or
+                               i == len(batches) - 1):
+            cur = samples.materialize() if hasattr(
+                samples, "materialize") else samples
+            e = np.array([np.linalg.norm(
+                np.asarray(cur[v]).mean(0)[:2] - truth[v][:2])
+                for v in cur if v in truth])
+            err_curve.append({"step": i,
+                              "rmse": round(float(np.sqrt(
+                                  (e ** 2).mean())), 2),
+                              "max": round(float(e.max()), 2)})
+            print(f"#   err@step{i}: rmse {err_curve[-1]['rmse']} "
+                  f"max {err_curve[-1]['max']}", flush=True)
         if i % 25 == 0 or (t3 - t0) > 20:
             fl = f", floor {floor_times[-1]:.3f}s" if floor_times else ""
             print(f"step {i}/{len(batches)}: {t3 - t0:.2f}s "
@@ -241,6 +284,7 @@ def main():
     }
     print(json.dumps(result), flush=True)
     out = f"/tmp/manhattan_{tag}_results.json"
+    result["err_curve"] = err_curve
     with open(out, "w") as fh:
         json.dump({**result,
                    "step_rows": [{k: (round(v, 4)

@@ -183,6 +183,8 @@ def main():
                   f"total {time.time() - t_all:.0f}s", flush=True)
     total = time.time() - t_all
 
+    if hasattr(samples, "materialize"):
+        samples = samples.materialize()   # ONE device fetch for all vars
     means = {v: np.asarray(samples[v]).mean(0) for v in samples}
     errs = np.array([np.linalg.norm(means[v][:2] - truth[v][:2])
                      for v in samples if v in truth])

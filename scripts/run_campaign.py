@@ -126,7 +126,7 @@ def main():
         keep(os.path.join(REPO, "PROFILE.json"), "profile.json")
 
     if want("scale"):
-        p = "/tmp/manhattan_scale_g32_l24_ada0.2_results.json"
+        p = "/tmp/manhattan_scale_g32_l24_ada0.2_s60_results.json"
         if not os.path.exists(p):
             run([py, "scripts/manhattan_scale_run.py"],
                 timeout=14000, tag="manhattan scale 1k poses",
