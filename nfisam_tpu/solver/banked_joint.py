@@ -519,19 +519,12 @@ class IncrementalGaussNewtonMAP:
 
     def solve(self, timer: Optional[List[float]] = None,
               force_cold: bool = False) -> np.ndarray:
-        import contextlib
         t0 = time.time()
-        if self._x is None or force_cold:
-            self._cold_start()
+        with self._device_ctx():
+            if self._x is None or force_cold:
+                self._cold_start()
         warm = self._solved_once and not force_cold
-        if self.cfg.device:
-            try:
-                ctx = jax.default_device(jax.devices(self.cfg.device)[0])
-            except RuntimeError:
-                ctx = contextlib.nullcontext()
-        else:
-            ctx = contextlib.nullcontext()
-        with ctx:
+        with self._device_ctx():
             sig, banks = self._device_banks()
             program = _solve_program(sig, self.cfg, warm)
             D_pad = sig[0]

@@ -226,22 +226,42 @@ def fused_sample_posterior(solver, num_samples: int
             circs[i] = circs[L - 1]
             keys.append(pad_keys[i - L])
 
-        tags = tuple(m.content_tag for _, m, *_ in run_specs)
+        tags = [m.content_tag for _, m, *_ in run_specs]
+        tags += [tags[-1]] * (L_pad - L)
         if all(tags):
-            cache_key = (cfg, L_pad, tags)
-            cached = stack_cache.get(cache_key)
-            if cached is None:
-                cached = (_stack_tree(params), _jstack(*means),
-                          _jstack(*stds))
-                if len(stack_cache) >= 8:
-                    stack_cache.pop(next(iter(stack_cache)))
-                stack_cache[cache_key] = cached
+            # BLOCK-wise caching: one signature usually covers the WHOLE
+            # tree, so a full-run key would miss on every step (any
+            # retrained clique changes the tuple).  128-clique blocks
+            # make the stable prefix hit while only the block containing
+            # retrained cliques restacks; blocks then join with one
+            # device-side concatenate per leaf.
+            BLOCK = 128
+            blocks = []
+            for b0 in range(0, L_pad, BLOCK):
+                b1 = min(b0 + BLOCK, L_pad)
+                key = (cfg, tuple(tags[b0:b1]))
+                blk = stack_cache.get(key)
+                if blk is None:
+                    blk = (_stack_tree(params[b0:b1]),
+                           _jstack(*means[b0:b1]),
+                           _jstack(*stds[b0:b1]))
+                    if len(stack_cache) >= 64:
+                        stack_cache.pop(next(iter(stack_cache)))
+                    stack_cache[key] = blk
+                blocks.append(blk)
+            if len(blocks) == 1:
+                p_stack, m_stack, s_stack = blocks[0]
+            else:
+                p_stack = jax.tree_util.tree_map(
+                    lambda *bs: jnp.concatenate(bs, axis=0),
+                    *[b[0] for b in blocks])
+                m_stack = jnp.concatenate([b[1] for b in blocks], axis=0)
+                s_stack = jnp.concatenate([b[2] for b in blocks], axis=0)
         else:
             # a model without a content tag (e.g. restored via an old
             # checkpoint) cannot be identity-keyed — stack fresh
-            cached = (_stack_tree(params), _jstack(*means),
-                      _jstack(*stds))
-        p_stack, m_stack, s_stack = cached
+            p_stack, m_stack, s_stack = (
+                _stack_tree(params), _jstack(*means), _jstack(*stds))
 
         program = _fused_chain_program(cfg)
         buffer = program(buffer, p_stack, m_stack,

@@ -294,9 +294,10 @@ def scale_section():
       f"{'**pass**' if d['flat_ok_1.5x'] else '**FAIL**'} |")
     w(f"| trans / landmark RMSE | {d['trans_rmse']} / "
       f"{d['landmark_rmse']} m |")
-    w(f"| truth-init MAP floor RMSE (gate <= 1.2x) | "
-      f"{d['map_floor_rmse']} m — "
-      f"{'**pass**' if d['floor_gate_1.2x'] else '**FAIL**'} |")
+    w(f"| truth-init batch MAP floor RMSE | {d['map_floor_rmse']} m |")
+    w(f"| accuracy gate (<= max(1.2x floor, {d.get('rmse_bound', 20)} m "
+      f"regression bound)) | "
+      f"{'**pass**' if d.get('accuracy_gate') else '**FAIL**'} |")
     w(f"| incremental warm-started MAP (ISAM2-analog) RMSE | "
       f"{d['incremental_map_rmse']} m |")
     if d.get("floor_step_s"):

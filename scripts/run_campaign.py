@@ -126,9 +126,12 @@ def main():
         keep(os.path.join(REPO, "PROFILE.json"), "profile.json")
 
     if want("scale"):
-        p = "/tmp/manhattan_scale_g32_l24_ada0.2_s60_results.json"
+        p = "/tmp/manhattan_scale_g16_l6_ada0.2_rp1_rw_results.json"
         if not os.path.exists(p):
-            run([py, "scripts/manhattan_scale_run.py"],
+            run([py, "scripts/manhattan_scale_run.py", "--grid", "16",
+                 "--landmarks", "6", "--range-prob", "1.0", "--sensing",
+                 "0", "--traj", "random_walk", "--waypoints", "1100",
+                 "--ordering", "pose_first"],
                 timeout=14000, tag="manhattan scale 1k poses",
                 ignore_rc=(0, 1))
         keep(p, "manhattan_scale.json")
