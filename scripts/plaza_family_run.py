@@ -69,16 +69,27 @@ def geometric_true_component(factor, truth):
 
 def hypo_snapshot(factors_in, samples, truth):
     """Mean posterior weight on the geometric-truth component, and the
-    fraction of DA factors resolved (>0.9) onto it."""
+    fraction of DA factors resolved (>0.9) onto it.
+
+    One posterior fetch + CPU-pinned evaluation: per-factor jnp calls on
+    the tunneled-TPU default backend cost ~0.4 s EACH — 151 DA factors
+    made every snapshot ~70 s (measured: a 103 s solve wrapped in a
+    1,222 s run)."""
     from nfisam_tpu.factors.mixtures import BinaryFactorMixture
+    if hasattr(samples, "materialize"):
+        samples = samples.materialize()
+    else:
+        samples = {v: np.asarray(s) for v, s in samples.items()}
     ws = []
     have = set(samples)
+    cpu = jax.devices("cpu")[0]
     for f in factors_in:
         if not isinstance(f, BinaryFactorMixture) or len(f.vars) < 3:
             continue
         if not set(f.vars).issubset(have):
             continue
-        w = np.asarray(f.posterior_weights(samples))
+        with jax.default_device(cpu):
+            w = np.asarray(f.posterior_weights(samples))
         ws.append(float(w[geometric_true_component(f, truth)]))
     if not ws:
         return None
