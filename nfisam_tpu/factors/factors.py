@@ -104,6 +104,19 @@ class Factor(ABC):
     def log_pdf(self, x) -> jax.Array:
         raise NotImplementedError
 
+    def log_ancestral_density(self, x, var1_sampled: bool = True
+                              ) -> jax.Array:
+        """Log density of the measure ``sample``/``unif_to_sample``
+        actually draws from when this factor is used as an ancestral
+        (tree) edge.  For most factors this equals ``log_pdf`` (the
+        conditional density over the drawn variable), but ring-sampled
+        range factors draw radius x uniform-angle, whose 2D density
+        carries a state-dependent -log(rho) polar Jacobian that
+        ``log_pdf`` (the 1D range likelihood) does not include.  MCMC
+        move kernels over the ancestral measure (e.g. SMC's MH prior
+        ratio) must use this, not ``log_pdf``."""
+        return self.log_pdf(x)
+
     def pdf(self, x) -> jax.Array:
         return jnp.exp(self.log_pdf(x))
 
@@ -1082,6 +1095,24 @@ class _RangeFactorBase(LikelihoodFactor, BinaryFactor):
                  - self.obs[0])
         return (-0.5 * delta ** 2 / self.variance
                 - 0.5 * _LOG_TWO_PI - jnp.log(self.sigma))
+
+    def log_ancestral_density(self, x, var1_sampled: bool = True):
+        """Density of the ring draw (``_range_sample_dir`` /
+        ``unif_to_sample``): Gaussian radius x uniform angle.  In the
+        target's 2D coordinates that is N(rho; r, sigma)/(2*pi*rho) —
+        ``log_pdf`` plus the polar Jacobian -log(2*pi*rho); when the
+        drawn endpoint is SE(2) its heading is uniform, adding a
+        constant -log(2*pi).  ``var1_sampled`` names the KNOWN endpoint
+        (joint.py tree-binary convention), so the drawn target is var2
+        when True."""
+        x = jnp.asarray(x)
+        rho = jnp.maximum(
+            jnp.linalg.norm(self._t2(x) - self._t1(x), axis=1), 1e-8)
+        target = self.var2 if var1_sampled else self.var1
+        out = self.log_pdf(x) - jnp.log(_TWO_PI * rho)
+        if target.dim == 3:
+            out = out - jnp.log(_TWO_PI)
+        return out
 
     def grad_x_log_pdf(self, x):
         """Analytic gradient with the reference's near-zero-distance guard

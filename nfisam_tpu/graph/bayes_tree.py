@@ -203,7 +203,8 @@ class BayesTree:
             self.graft_subtree(sub)
         return self
 
-    def prune_affected(self, touched: Set[Variable]
+    def prune_affected(self, touched: Set[Variable],
+                       deep: Set[Variable] = frozenset()
                        ) -> Tuple[Set[Variable], Set["BayesTree"]]:
         """Variables whose cliques must be re-eliminated, plus the detached
         unaffected subtrees.
@@ -212,6 +213,14 @@ class BayesTree:
         descendant is affected (ancestors up to the root are always
         affected).  Matches reference
         ``get_affected_vars_and_partial_bayes_trees`` (BayesTree.py:310).
+
+        ``deep`` variables (mode repair) additionally affect every clique
+        that merely CONTAINS them — including separator appearances in
+        descendants.  A flow conditioned on a wrong-mode landmark was
+        trained on simulation samples from the wrong region; after the
+        landmark's own clique re-commits, the recycled conditional would
+        be evaluated outside its trained support, so those descendants
+        must retrain too (the frontal-only rule cannot reach them).
         """
         var_to_clique = {}
         for clique in self.clique_nodes:
@@ -224,6 +233,13 @@ class BayesTree:
             while node is not None and node not in affected:
                 affected.add(node)
                 node = node.parent
+        if deep:
+            for clique in self.clique_nodes:
+                if deep & clique.vars:
+                    node = clique
+                    while node is not None and node not in affected:
+                        affected.add(node)
+                        node = node.parent
 
         detached: Set[BayesTree] = set()
         stack = [self.root]

@@ -59,6 +59,11 @@ class ParallelNFiSAM(NFiSAM):
     def __init__(self, args=None):
         super().__init__(args=args)
         self.host_trained_cliques: List[str] = []
+        # per-bucket training log: (aug_dim, n_samples, bucket_size) for
+        # every vmapped bucket actually dispatched — the measured wave
+        # bucket population behind the batched-trainer MFU question
+        # (VERDICT r3 task #2 / r4 task #3)
+        self.bucket_log: List[Tuple[int, int, int]] = []
 
     def fit_tree_density_models(self, timer: Optional[List[float]] = None,
                                 clique_dim_timer: Optional[List] = None,
@@ -110,6 +115,7 @@ class ParallelNFiSAM(NFiSAM):
 
             for bkey, items in buckets.items():
                 aug_dim, n = bkey[0], bkey[1]
+                self.bucket_log.append((aug_dim, n, len(items)))
                 t0 = time.time()
                 cfg = self._flow_config(
                     aug_dim, list(items[0][3]) + [False] * items[0][4])

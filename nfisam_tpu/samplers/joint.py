@@ -232,8 +232,12 @@ class StructuredJointFactor(JointFactor):
             total = jnp.zeros(x.shape[0])
             for f in tree_priors:
                 total = total + f.log_pdf(x[:, f2i[f]])
-            for f, _ in tree_binaries:
-                total = total + f.log_pdf(x[:, f2i[f]])
+            for f, var1_sampled in tree_binaries:
+                # NOT log_pdf: ring-sampled range edges carry a polar
+                # -log(rho) Jacobian in the measure sample()/ptform
+                # actually draw from (advisor round-4 finding)
+                total = total + f.log_ancestral_density(
+                    x[:, f2i[f]], var1_sampled=var1_sampled)
             return total
 
         self._jit_ptform = jax.jit(ptform)

@@ -112,14 +112,19 @@ def build_nuts_kernel(logprob_fn: Callable, dim: int, cfg: NUTSConfig):
 
                 # within-subtree U-turn checks: every aligned block of
                 # size 2^k (k>=1) ending at leaf i, i.e. 2^k | (i+1);
-                # its start-state checkpoint sits at slot pc-1+c-k
+                # its start-state checkpoint sits at slot pc-1+c-k.
+                # Orient the displacement by build direction: leftward
+                # subtrees integrate with -eps, so (q - ckq) points
+                # opposite the momenta on a straight trajectory and must
+                # be flipped to recover the canonical q_plus - q_minus.
                 c = ctz(i + 1)
                 pc = popcount(i + 1)
+                sign = jnp.where(go_right, 1.0, -1.0)
                 turn = jnp.asarray(False)
                 for k in range(1, D + 1):
                     active = k <= c
                     slot = jnp.clip(pc - 1 + c - k, 0, D)
-                    dq = q - ckq[slot]
+                    dq = sign * (q - ckq[slot])
                     turn = turn | (active & is_turn(dq, ckp[slot], p))
                 return (q, p, logw_new2, q_new, acc_s, acc_c, ki, ckq,
                         ckp, bad | turn | diverged)

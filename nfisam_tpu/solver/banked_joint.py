@@ -139,7 +139,7 @@ def _banked_nll(x, banks):
         # steps.  The reference guards its range gradient the same way
         # (Factors.py:2203-2220, max(dist, 1e-8)).
         dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
-        delta = dist - banks["rg_r"][:, None]           # (n, K)
+        delta = dist - banks["rg_r"]                    # (n, K) per-comp obs
         comp_lp = (banks["rg_logw"]
                    - 0.5 * delta ** 2 / banks["rg_sigma"] ** 2
                    - 0.5 * _LOG_TWO_PI - jnp.log(banks["rg_sigma"]))
@@ -487,17 +487,20 @@ class IncrementalGaussNewtonMAP:
             sig.append(("rg", n_pad, K))
             obs_idx = np.zeros((n_pad, 2), np.int32)
             cand_idx = np.zeros((n_pad, K, 2), np.int32)
-            r = np.zeros(n_pad, np.float32)
+            # per-COMPONENT range obs: a general BinaryFactorMixture may
+            # carry a different measurement per hypothesis (advisor
+            # round-4 finding); SameData mixtures just repeat it
+            r = np.zeros((n_pad, K), np.float32)
             sigma = np.ones((n_pad, K), np.float32)
             logw = np.full((n_pad, K), -1e9, np.float32)
             valid = np.zeros(n_pad, np.float32)
             for i, (oi, comps) in enumerate(self._rg):
                 valid[i] = 1.0
                 obs_idx[i] = [oi, oi + 1]
-                r[i] = comps[0][1]
                 for k in range(K):
                     ci, rk, sk, lwk = comps[min(k, len(comps) - 1)]
                     cand_idx[i, k] = [ci, ci + 1]
+                    r[i, k] = rk
                     sigma[i, k] = sk
                     logw[i, k] = lwk if k < len(comps) else -1e9
             banks["rg_obs_idx"] = jnp.asarray(obs_idx)

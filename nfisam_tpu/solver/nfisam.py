@@ -262,6 +262,13 @@ class NFiSAM(FactorGraphSolver):
         checkpoint keyed by clique signature)."""
         if self._model_store is None:
             return None
+        if getattr(self, "_repair_vars", None) and \
+                (self._repair_vars & clique.vars):
+            # mode repair evicted this clique BECAUSE its stored flow's
+            # trained support is wrong; a descendant's factor set can be
+            # unchanged (the contradicting factor lives elsewhere), so
+            # the signature alone cannot invalidate it
+            return None
         sig, schedule = self._clique_signature(clique)
         model = self._model_store.load(sig)
         if model is None:

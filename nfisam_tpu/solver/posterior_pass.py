@@ -236,18 +236,24 @@ def fused_sample_posterior(solver, num_samples: int
             # retrained cliques restacks; blocks then join with one
             # device-side concatenate per leaf.
             BLOCK = 128
+            # capacity must cover at least one full pass worth of blocks
+            # (x2 for step-to-step churn), else a >8192-clique tree
+            # evicts its own blocks mid-pass and every step misses
+            n_blocks = -(-L_pad // BLOCK)
+            cap = max(64, 2 * n_blocks)
             blocks = []
             for b0 in range(0, L_pad, BLOCK):
                 b1 = min(b0 + BLOCK, L_pad)
                 key = (cfg, tuple(tags[b0:b1]))
-                blk = stack_cache.get(key)
+                blk = stack_cache.pop(key, None)
                 if blk is None:
                     blk = (_stack_tree(params[b0:b1]),
                            _jstack(*means[b0:b1]),
                            _jstack(*stds[b0:b1]))
-                    if len(stack_cache) >= 64:
+                    while len(stack_cache) >= cap:
                         stack_cache.pop(next(iter(stack_cache)))
-                    stack_cache[key] = blk
+                # pop+reinsert = LRU order in the plain dict
+                stack_cache[key] = blk
                 blocks.append(blk)
             if len(blocks) == 1:
                 p_stack, m_stack, s_stack = blocks[0]

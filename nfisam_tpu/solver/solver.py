@@ -45,6 +45,22 @@ class SolverArgs:
     # reference never implements (``:402-407`` raises unconditionally) — the
     # dead knob is intentionally not carried over.
     seed: int = 0
+    # evidence-aware recycling (mode repair): when a NEW range factor is
+    # inconsistent with the ENTIRE committed posterior of its endpoints
+    # (no sample within ``mode_repair_sigma`` of the measured ring), the
+    # contradicted landmark's clique is force-re-eliminated instead of
+    # recycled, so its flow retrains against all current evidence.  The
+    # reference recycles purely structurally (FactorGraphSolver.py:309-349)
+    # and cannot undo a wrong ring-mode commitment; at 1,101 poses that
+    # left the flow posterior 10x worse than the warm-started MAP.
+    mode_repair: bool = True
+    mode_repair_sigma: float = 4.0
+    # thrash rails: at most this many repaired variables per update, and
+    # a repaired variable is immune for this many updates afterwards —
+    # a contradiction that survives its own retraining would otherwise
+    # re-evict the same cliques every step
+    mode_repair_max_per_step: int = 3
+    mode_repair_cooldown: int = 10
 
     def json_str(self) -> str:
         return json.dumps(asdict(self))
@@ -82,6 +98,9 @@ class FactorGraphSolver:
         self._reverse_ordering_map: Dict[Variable, int] = {}
         self._temp_training_loss: Dict[str, List[float]] = {}
         self._keys = KeyStream(args.seed)
+        # observability: variables force-re-eliminated by mode repair,
+        # in trigger order (one entry per repaired variable per step)
+        self.mode_repair_log: List[str] = []
 
     # ------------------------------------------------------------ plumbing
     def _next_key(self):
@@ -162,10 +181,33 @@ class FactorGraphSolver:
         for f in self._new_factors:
             touched |= set(f.vars)
         touched &= old_nodes
+        repaired: set = set()
+        self._update_count = getattr(self, "_update_count", 0) + 1
+        if self._args.mode_repair and self._samples:
+            repaired = self._mode_contradicted_vars(old_nodes)
+            cool = getattr(self, "_repair_cooldown", {})
+            repaired = {
+                v for v in repaired
+                if self._update_count - cool.get(v, -10 ** 9)
+                > self._args.mode_repair_cooldown}
+            if len(repaired) > self._args.mode_repair_max_per_step:
+                repaired = set(sorted(
+                    repaired,
+                    key=str)[:self._args.mode_repair_max_per_step])
+            if repaired:
+                for v in repaired:
+                    cool[v] = self._update_count
+                self._repair_cooldown = cool
+                self.mode_repair_log.extend(
+                    sorted(str(v.name) for v in repaired))
+                touched |= repaired
+        # visible to try_load_clique_model until the next update
+        self._repair_vars = repaired
 
         if self._physical_bayes_tree is not None:
             affected, sub_trees = \
-                self._physical_bayes_tree.prune_affected(touched)
+                self._physical_bayes_tree.prune_affected(touched,
+                                                         deep=repaired)
             # canonical subtree order: prune_affected returns a SET, and
             # the order decides separator-prior factor order in the working
             # graph (=> simulation schedules, RNG assignment) — sort so
@@ -197,7 +239,7 @@ class FactorGraphSolver:
         self._physical_bayes_tree = self._working_bayes_tree.copy()
         self._physical_bayes_tree.graft_subtrees(sub_trees)
 
-        self._recycle_root_models(old_ordering)
+        self._recycle_root_models(old_ordering, no_recycle=repaired)
 
         self._new_nodes = []
         self._new_factors = []
@@ -205,11 +247,194 @@ class FactorGraphSolver:
             timer.append(time.time() - start)
         return self
 
-    def _recycle_root_models(self, old_ordering: List[Variable]) -> None:
+    def _mode_contradicted_vars(self, old_nodes) -> set:
+        """Landmarks whose committed posterior the NEW evidence cannot
+        explain — the flow-path analog of the banked MAP's >4-sigma
+        mode-escape re-scoring (``banked_joint.py``).
+
+        A new range(-mixture) factor between two OLD variables is
+        *contradicted* when, for every mixture hypothesis, (almost) no
+        committed posterior sample lies within ``mode_repair_sigma`` of
+        the measured ring (2nd-percentile of |dist - r|, so a couple of
+        stray samples cannot mask a wrong-mode commitment).  Returning
+        the landmark forces its cliques into the affected set
+        (``prune_affected``), so they re-eliminate and retrain with the
+        contradicting factor included instead of recycling the stale
+        flow — the repair the reference's structural recycling
+        (FactorGraphSolver.py:309-349) cannot perform.
+
+        Tunnel-latency note: the check reads the async host SNAPSHOT of
+        the previous posterior (``_repair_snapshot``, a 256-row
+        subsample whose device->host copy was started right after the
+        posterior dispatch) — by the time the next batch of factors
+        arrives the copy has landed, so the check costs pure host numpy
+        and ZERO blocking round trips.  A blocking mid-loop fetch here
+        measured +0.1 s on the 0.3 s case1 solve."""
+        from ..factors.factors import (R2RelativeGaussianLikelihoodFactor,
+                                       SE2RelativeGaussianLikelihoodFactor,
+                                       _RangeFactorBase)
+        from ..factors.mixtures import BinaryFactorMixture
+        col_view = self._snapshot_columns()
+        if col_view is None:
+            return set()
+
+        # dead-reckon NEW poses through the new odometry chain so a range
+        # from the current (uncommitted) pose to an OLD landmark can be
+        # tested — the dominant evidence pattern in incremental streams
+        dr: Dict[Variable, np.ndarray] = {}
+
+        def lookup(v):
+            s = col_view(v)
+            return dr.get(v) if s is None else s
+
+        progress = True
+        while progress:
+            progress = False
+            for f in self._new_factors:
+                if not isinstance(f, (SE2RelativeGaussianLikelihoodFactor,
+                                      R2RelativeGaussianLikelihoodFactor)):
+                    continue
+                v1, v2 = f.vars[0], f.vars[1]
+                s1 = lookup(v1)
+                if s1 is None or lookup(v2) is not None:
+                    continue
+                if isinstance(f, SE2RelativeGaussianLikelihoodFactor):
+                    c, s = np.cos(s1[:, 2]), np.sin(s1[:, 2])
+                    dx, dy, dth = (float(f.obs[0]), float(f.obs[1]),
+                                   float(f.obs[2]))
+                    dr[v2] = np.stack(
+                        [s1[:, 0] + c * dx - s * dy,
+                         s1[:, 1] + s * dx + c * dy,
+                         s1[:, 2] + dth], axis=1)
+                else:
+                    dr[v2] = s1[:, :2] + np.asarray(f.obs[:2],
+                                                    dtype=s1.dtype)
+                progress = True
+
+        specs = []          # (factor, [(v1, v2, r, sigma), ...])
+        for f in self._new_factors:
+            if isinstance(f, BinaryFactorMixture):
+                rings = [(c.vars[0], c.vars[1], float(c.obs[0]),
+                          float(c.sigma)) for c in f.components
+                         if isinstance(c, _RangeFactorBase)]
+            elif isinstance(f, _RangeFactorBase):
+                rings = [(f.vars[0], f.vars[1], float(f.obs[0]),
+                          float(f.sigma))]
+            else:
+                continue
+            if not rings or any(
+                    lookup(v) is None
+                    for (v1, v2, _, _) in rings for v in (v1, v2)):
+                continue        # an endpoint has neither committed
+            if not any(v in old_nodes       # posterior nor dead-reckon
+                       for (v1, v2, _, _) in rings for v in (v1, v2)):
+                continue        # nothing committed to repair
+            specs.append((f, rings))
+        if not specs:
+            return set()
+
+        out: set = set()
+        for f, rings in specs:
+            consistent = False
+            for (v1, v2, r, sg) in rings:
+                d = np.linalg.norm(lookup(v2)[:, :2] - lookup(v1)[:, :2],
+                                   axis=1)
+                # contradiction = (almost) no committed posterior mass
+                # near the measured ring; the 2nd percentile keeps a
+                # couple of stray samples from masking a wrong mode
+                if np.quantile(np.abs(d - r), 0.02) <= \
+                        self._args.mode_repair_sigma * sg:
+                    consistent = True
+                    break
+            if consistent:
+                continue
+            for (v1, v2, r, sg) in rings:
+                lmks = [v for v in (v1, v2)
+                        if v.type == VariableType.Landmark
+                        and v in old_nodes]
+                out.update(lmks if lmks else
+                           (v for v in (v1, v2) if v in old_nodes))
+        return out
+
+    def _start_repair_snapshot(self, fused, num_samples: int) -> None:
+        """Fetch a 256-row posterior subsample to host in a BACKGROUND
+        thread.  Any read of device data synchronizes with the whole
+        device queue, so an in-loop fetch (even `copy_to_host_async`,
+        which this platform serves synchronously) moves the queue drain
+        into the host loop — measured +0.3 s on the 0.2 s case1 solve.
+        The thread parks on the queue with the GIL released while the
+        main loop keeps dispatching; the repair check then reads the
+        latest COMPLETED snapshot (at most one step stale, fine for a
+        mode-consistency test)."""
+        import threading
+        snap = fused._buffer[:min(256, num_samples)]
+        col_of = dict(fused._col_of)
+        prev = getattr(self, "_snapshot_thread", None)
+        if prev is not None and prev.is_alive():
+            prev.join()     # bound outstanding fetches to one
+
+        def work():
+            try:
+                buf = np.asarray(snap)
+                self._repair_snapshot_host = (buf, col_of)
+            except Exception:       # device teardown mid-fetch: skip
+                pass
+
+        # non-daemon: the interpreter joins it before teardown — a daemon
+        # thread parked inside a native device fetch at shutdown aborts
+        # the process ("FATAL: exception not rethrown") and can wedge the
+        # TPU tunnel.  The join-prev above bounds it to one outstanding.
+        t = threading.Thread(target=work, daemon=False)
+        self._snapshot_thread = t
+        t.start()
+
+    def _snapshot_columns(self):
+        """Accessor ``v -> (n, v.dim) host samples`` over the latest
+        completed posterior snapshot (fused path) or the raw samples
+        mapping (per-clique/CPU path); None when no posterior snapshot
+        has landed yet."""
+        snap = getattr(self, "_repair_snapshot_host", None)
+        if snap is not None:
+            buf, col_of = snap
+
+            def view(v):
+                col = col_of.get(v)
+                if col is None:
+                    return None
+                return buf[:, col:col + v.dim]
+
+            return view
+        samples = self._samples
+        if not samples:
+            return None
+        if hasattr(samples, "_buffer"):
+            # fused/device samples but no snapshot landed yet (first
+            # step, or the background fetch is still parked on the
+            # device queue): SKIP the check rather than block the loop
+            return None
+        cache: Dict = {}
+
+        def view(v):
+            if v not in samples:
+                return None
+            out = cache.get(v)
+            if out is None:
+                out = np.asarray(samples[v])
+                cache[v] = out
+            return out
+
+        return view
+
+    def _recycle_root_models(self, old_ordering: List[Variable],
+                             no_recycle: set = frozenset()) -> None:
         """An old root clique that reappears with the same variables and
         in-clique ordering — now as a leaf — keeps its density model after a
         separator/frontal re-split (reference FactorGraphSolver.py:309-349).
-        """
+
+        ``no_recycle``: mode-repaired variables — a dismantled clique that
+        contains one may reappear with identical vars/ordering, and
+        structural recycling would silently resurrect the wrong-mode flow
+        the repair just evicted."""
         stale = set(self._clique_density_model.keys()) - \
             self._physical_bayes_tree.clique_nodes
         if not stale:
@@ -226,6 +451,8 @@ class FactorGraphSolver:
         # working graph, so set-iteration order here would leak
         # PYTHONHASHSEED into factor order (multi-host determinism)
         for old_clique in sorted(stale, key=str):
+            if no_recycle and (no_recycle & old_clique.vars):
+                continue
             new_clique = by_vars.get(frozenset(old_clique.vars))
             if new_clique is None:
                 continue
@@ -379,6 +606,8 @@ class FactorGraphSolver:
         if fused_posterior_enabled():
             fused = fused_sample_posterior(self, num_samples)
             if fused is not None:
+                if self._args.mode_repair:
+                    self._start_repair_snapshot(fused, num_samples)
                 if timer is not None:
                     timer.append(time.time() - start)
                 return fused

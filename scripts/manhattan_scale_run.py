@@ -317,6 +317,19 @@ def main():
             "last_quartile_median": round(float(np.median(
                 floor_times[-max(1, len(floor_times) // 4):])), 3),
         } if floor_times else None,
+        # wavefront bucket-population histogram: {B: count of vmapped
+        # buckets dispatched at that population} — the measured answer to
+        # "does clique batching actually reach dozens?" (VERDICT r4 #3)
+        "bucket_population_hist": {
+            str(b): int(c) for b, c in zip(
+                *np.unique([b for (_, _, b) in solver.bucket_log],
+                           return_counts=True))} if solver.bucket_log
+        else {},
+        # evidence-aware recycling activity (mode repair): how often new
+        # range evidence contradicted a committed landmark mode and
+        # forced re-elimination (VERDICT r4 #2)
+        "mode_repair_events": len(solver.mode_repair_log),
+        "mode_repair_vars": sorted(set(solver.mode_repair_log)),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result), flush=True)

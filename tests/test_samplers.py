@@ -162,3 +162,33 @@ def test_mcmc_smc_ring_posterior_vs_nested(sampler_cls, kwargs):
     # oracle — the MMD here is a gross-shape cross-check, not the
     # precision gate
     assert mmd(a, b) < 0.12
+
+
+def test_nuts_transition_direction_symmetric():
+    """Regression for the round-4 advisor HIGH finding: the within-subtree
+    U-turn check used dq = q - ckq, which for LEFTWARD builds (-eps) is
+    anti-parallel to the momenta on a straight trajectory — every leftward
+    subtree with >=2 leaves was spuriously flagged, so trees could never
+    extend more than one leaf left and transitions drifted rightward.
+    A correct NUTS transition on a symmetric target from a symmetric
+    start must produce a symmetric displacement distribution."""
+    from nfisam_tpu.samplers.nuts import NUTSConfig, build_nuts_kernel
+    import jax.numpy as jnp
+
+    logprob = lambda q: -0.5 * jnp.sum(q * q)       # noqa: E731
+    cfg = NUTSConfig(max_treedepth=6)
+    kernel = build_nuts_kernel(logprob, 1, cfg)
+    n = 512
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    q0 = jnp.zeros((n, 1))
+    eps, inv_mass = jnp.float32(0.25), jnp.ones(1)
+    q1, _ = jax.jit(jax.vmap(
+        lambda k, q: kernel(k, q, eps, inv_mass)))(keys, q0)
+    d = np.asarray(q1)[:, 0]
+    # under the bug: mean displacement +0.5-sigma-ish and ~75% positive;
+    # fixed: mean ~0 (se ~ 1/sqrt(512) ~ 0.044) and ~50% positive
+    assert abs(d.mean()) < 0.15, d.mean()
+    frac_pos = (d > 0).mean()
+    assert 0.42 < frac_pos < 0.58, frac_pos
+    # the transition must actually move (trees extend in both directions)
+    assert d.std() > 0.3, d.std()
