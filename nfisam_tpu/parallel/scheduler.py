@@ -113,95 +113,115 @@ class ParallelNFiSAM(NFiSAM):
                 buckets.setdefault(key, []).append(
                     (clique, samples, var_ordering, circ, pad))
 
-            for bkey, items in buckets.items():
+            for bkey, bucket_items in buckets.items():
                 aug_dim, n = bkey[0], bkey[1]
-                self.bucket_log.append((aug_dim, n, len(items)))
+                self.bucket_log.append((aug_dim, n, len(bucket_items)))
                 t0 = time.time()
                 cfg = self._flow_config(
-                    aug_dim, list(items[0][3]) + [False] * items[0][4])
+                    aug_dim,
+                    list(bucket_items[0][3]) + [False] * bucket_items[0][4])
                 tc = self._args.train_config()
                 scale_circ = self._args.flow_type == "NSF_AR"
-                if len(items) == 1:
-                    clique, samples, var_ordering, circ_l, pad = items[0]
-                    from ..train.trainer import fit_flow_raw
-                    fit_key = self._next_key()
-                    params, iter_loss, n_iters, mean, std = fit_flow_raw(
-                        fit_key, samples, cfg,
-                        tc, circ_l + [False] * pad,
+                # measured B-sweep (PROFILE.json): the vmapped trainer is
+                # VPU/HBM-bound — throughput peaks at B~4-8 and degrades
+                # 2x by B=64, so huge buckets are CHUNKED; multi-host
+                # chunking-by-process handles its own splitting
+                from .multihost import host_parallel_enabled
+                CHUNK = 8
+                if host_parallel_enabled(self._args) or \
+                        len(bucket_items) <= CHUNK:
+                    chunks = [bucket_items]
+                else:
+                    chunks = [bucket_items[i:i + CHUNK]
+                              for i in range(0, len(bucket_items), CHUNK)]
+                for items in chunks:
+                    self._fit_bucket_chunk(items, cfg, tc, scale_circ,
+                                           aug_dim, n, timer, t0,
+                                           clique_dim_timer, t_begin)
+
+    def _fit_bucket_chunk(self, items, cfg, tc, scale_circ, aug_dim, n,
+                          timer, t0, clique_dim_timer, t_begin) -> None:
+        if len(items) == 1:
+            clique, samples, var_ordering, circ_l, pad = items[0]
+            from ..train.trainer import fit_flow_raw
+            fit_key = self._next_key()
+            params, iter_loss, n_iters, mean, std = fit_flow_raw(
+                fit_key, samples, cfg,
+                tc, circ_l + [False] * pad,
+                scale_circular=scale_circ,
+                mesh=self._args.data_parallel_mesh)
+            stacked = [(clique, var_ordering, pad, params,
+                        iter_loss, n_iters, mean, std, fit_key)]
+        else:
+            keys = np.stack([self._next_key() for _ in items])
+            samples_stack = np.stack(
+                [np.asarray(s) for (_, s, _, _, _) in items])
+            masks = np.stack(
+                [np.asarray(c + [False] * pd, dtype=bool)
+                 for (_, _, _, c, pd) in items])
+            from .multihost import (host_parallel_enabled,
+                                    train_chunked)
+            if host_parallel_enabled(self._args):
+                # split the clique axis into contiguous per-process
+                # chunks; trained stacks reassemble via one DCN
+                # allgather (parallel/multihost.py)
+                (p_s, il_s, t_s, m_s, s_s), trained_idx = \
+                    train_chunked(
+                        keys, samples_stack, cfg, tc, masks,
                         scale_circular=scale_circ,
                         mesh=self._args.data_parallel_mesh)
-                    stacked = [(clique, var_ordering, pad, params,
-                                iter_loss, n_iters, mean, std, fit_key)]
-                else:
-                    keys = np.stack([self._next_key() for _ in items])
-                    samples_stack = np.stack(
-                        [np.asarray(s) for (_, s, _, _, _) in items])
-                    masks = np.stack(
-                        [np.asarray(c + [False] * pd, dtype=bool)
-                         for (_, _, _, c, pd) in items])
-                    from .multihost import (host_parallel_enabled,
-                                            train_chunked)
-                    if host_parallel_enabled(self._args):
-                        # split the clique axis into contiguous per-process
-                        # chunks; trained stacks reassemble via one DCN
-                        # allgather (parallel/multihost.py)
-                        (p_s, il_s, t_s, m_s, s_s), trained_idx = \
-                            train_chunked(
-                                keys, samples_stack, cfg, tc, masks,
-                                scale_circular=scale_circ,
-                                mesh=self._args.data_parallel_mesh)
-                        # canonical (sorted) name: clique.vars is a set, so
-                        # join order would leak PYTHONHASHSEED into the
-                        # MULTIHOST artifact and churn it per regeneration
-                        self.host_trained_cliques.extend(
-                            "".join(sorted(str(v.name)
-                                           for v in items[i][0].vars))
-                            for i in trained_idx)
-                    else:
-                        p_s, il_s, t_s, m_s, s_s = fit_flows_batched(
-                            keys, samples_stack, cfg, tc, masks,
-                            scale_circular=scale_circ,
-                            mesh=self._args.data_parallel_mesh)
-                    stacked = []
-                    for b, (clique, _, var_ordering, _, pad) in \
-                            enumerate(items):
-                        import jax
-                        params = jax.tree_util.tree_map(
-                            lambda x: x[b], p_s)
-                        stacked.append((clique, var_ordering, pad, params,
-                                        il_s[b], t_s[b], m_s[b], s_s[b],
-                                        keys[b]))
-                if timer is not None:
-                    timer.append(time.time() - t0)
+                # canonical (sorted) name: clique.vars is a set, so
+                # join order would leak PYTHONHASHSEED into the
+                # MULTIHOST artifact and churn it per regeneration
+                self.host_trained_cliques.extend(
+                    "".join(sorted(str(v.name)
+                                   for v in items[i][0].vars))
+                    for i in trained_idx)
+            else:
+                p_s, il_s, t_s, m_s, s_s = fit_flows_batched(
+                    keys, samples_stack, cfg, tc, masks,
+                    scale_circular=scale_circ,
+                    mesh=self._args.data_parallel_mesh)
+            stacked = []
+            for b, (clique, _, var_ordering, _, pad) in \
+                    enumerate(items):
+                import jax
+                params = jax.tree_util.tree_map(
+                    lambda x: x[b], p_s)
+                stacked.append((clique, var_ordering, pad, params,
+                                il_s[b], t_s[b], m_s[b], s_s[b],
+                                keys[b]))
+        if timer is not None:
+            timer.append(time.time() - t0)
 
-                import hashlib
-                for (clique, var_ordering, pad, params, iter_loss, n_iters,
-                     mean, std, fit_key) in stacked:
-                    circ_l = []
-                    for v in var_ordering:
-                        circ_l += v.circular_dim_list
-                    aug_sep_dim = aug_dim - pad - clique.frontal_dim
-                    tag = hashlib.sha256(
-                        np.asarray(fit_key).tobytes() + repr(cfg).encode() +
-                        str((n, aug_dim)).encode()).hexdigest()[:16]
-                    model = CliqueFlowModel(cfg, params, mean, std, circ_l,
-                                            aug_sep_dim, pad_dims=pad,
-                                            content_tag=tag)
-                    adapter = FlowModelAdapter(
-                        model, self._next_key,
-                        mesh=self._args.sample_mesh)
-                    clique_name = "".join(sorted(str(v.name)
-                                                 for v in clique.vars))
-                    self._temp_training_loss[clique_name] = (iter_loss,
-                                                             n_iters)
-                    if self._model_store is not None:
-                        sig, _ = self._clique_signature(clique)
-                        self._model_store.save(sig, model)
-                    self._clique_density_model[clique] = adapter
-                    self._finish_clique(clique, adapter)
-                    if clique_dim_timer is not None:
-                        clique_dim_timer.append(
-                            [clique.dim, time.time() - t_begin])
+        import hashlib
+        for (clique, var_ordering, pad, params, iter_loss, n_iters,
+             mean, std, fit_key) in stacked:
+            circ_l = []
+            for v in var_ordering:
+                circ_l += v.circular_dim_list
+            aug_sep_dim = aug_dim - pad - clique.frontal_dim
+            tag = hashlib.sha256(
+                np.asarray(fit_key).tobytes() + repr(cfg).encode() +
+                str((n, aug_dim)).encode()).hexdigest()[:16]
+            model = CliqueFlowModel(cfg, params, mean, std, circ_l,
+                                    aug_sep_dim, pad_dims=pad,
+                                    content_tag=tag)
+            adapter = FlowModelAdapter(
+                model, self._next_key,
+                mesh=self._args.sample_mesh)
+            clique_name = "".join(sorted(str(v.name)
+                                         for v in clique.vars))
+            self._temp_training_loss[clique_name] = (iter_loss,
+                                                     n_iters)
+            if self._model_store is not None:
+                sig, _ = self._clique_signature(clique)
+                self._model_store.save(sig, model)
+            self._clique_density_model[clique] = adapter
+            self._finish_clique(clique, adapter)
+            if clique_dim_timer is not None:
+                clique_dim_timer.append(
+                    [clique.dim, time.time() - t_begin])
 
     def _finish_clique(self, clique: CliqueNode, model) -> None:
         """Emit the separator-marginal factor and eliminate the clique from

@@ -56,6 +56,30 @@ def compile_schedule(factors: Sequence[Factor],
     unused_obs: List[float] = []
 
     for f in priors:
+        overlap = [v for v in f.vars if v in sampled]
+        if overlap:
+            # Two prior factors sharing variables (sibling subtrees'
+            # separator flows both carrying a shared landmark).  The
+            # reference OVERWRITES the earlier draw ("assuming no
+            # conflicts in prior factors", SimulationBasedSampler.py:19)
+            # — producing an INCONSISTENT joint: the shared var matches
+            # only the last flow, and every other flow's columns are
+            # decoupled from it.  AR flows can do better: shared vars
+            # are the latest-eliminated (root-most), so they lead the
+            # flow's reverse-elimination column order — draw the SUFFIX
+            # conditioned on the already-sampled prefix, which makes the
+            # simulated joint the exact tree factorization
+            # p(shared) * prod p(rest_i | shared).
+            k = len(overlap)
+            if (k < len(f.vars) and overlap == f.vars[:k]
+                    and hasattr(f, "sample_conditional")):
+                ops.append(ScheduleOp("prior_cond", f))
+                sampled.update(f.vars)
+                continue
+            if k == len(f.vars):
+                continue    # fully determined: nothing left to draw
+            # non-prefix overlap or a factor without conditional support:
+            # fall through to the reference's overwrite semantics
         ops.append(ScheduleOp("prior", f))
         sampled.update(f.vars)
 
@@ -156,6 +180,15 @@ def execute_schedule(key: jax.Array, schedule: SimulationSchedule,
             s = f.sample(k, num_samples)
             start = 0
             for v in f.vars:
+                var_samples[v] = s[:, start:start + v.dim]
+                start += v.dim
+        elif op.kind == "prior_cond":
+            known = [v for v in f.vars if v in var_samples]
+            prefix = jnp.concatenate([var_samples[v] for v in known],
+                                     axis=1)
+            s = f.sample_conditional(k, prefix)
+            start = 0
+            for v in f.vars[len(known):]:
                 var_samples[v] = s[:, start:start + v.dim]
                 start += v.dim
         elif op.kind == "forward":

@@ -73,9 +73,13 @@ class IncMAPConfig:
     warm_max_iters: int = 15    # LM iterations for warm-started re-solves
     landmark_init_candidates: int = 16
     # backend pin: the floor is a REFERENCE baseline, not the product
-    # path — on the tunneled TPU the LM-CG program costs minutes to
-    # compile per bucket signature (measured 710 s at scale-run step 0)
-    # while the CPU compiles it in seconds and solves warm steps in ms
+    # path.  Measured attribution (results/map_compile_probe.json): XLA
+    # compiles this program in 2-5 s even at D_pad=16384 — the round-4
+    # "710 s compile" was cold-run EXECUTION: a cold solve is 150 LM x
+    # 300 CG = 45k strictly sequential tiny gather/scatter iterations,
+    # ~0.3-0.7 ms each on the tunneled TPU (latency-bound, no
+    # parallelism at D<=16k), so even warm 15-iter re-solves would cost
+    # seconds on TPU vs milliseconds on CPU.
     device: str = "cpu"
 
 

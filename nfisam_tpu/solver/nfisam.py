@@ -194,6 +194,30 @@ class FlowsPriorFactor(CliqueSeparatorFactor):
         obs = np.tile(self._true_obs, (num_samples, 1))
         return self._flow_model.conditional_sample(key, 0, obs_samples=obs)
 
+    def sample_conditional(self, key: jax.Array,
+                           prefix_samples) -> jax.Array:
+        """Draw the remaining suffix of ``self.vars`` given samples of a
+        PREFIX of them — used when a sibling separator flow already drew
+        the shared (root-most) variables, so the simulated joint stays
+        the consistent tree factorization instead of the reference's
+        overwrite (``SimulationBasedSampler.py:19`` "assuming no
+        conflicts").  The AR flow conditions on [true_obs | prefix]
+        directly."""
+        import jax.numpy as jnp
+        prefix_samples = jnp.asarray(prefix_samples, dtype=jnp.float32)
+        n = prefix_samples.shape[0]
+        if self._obs_dim:
+            obs = jnp.broadcast_to(
+                jnp.asarray(self._true_obs, dtype=jnp.float32),
+                (n, self._obs_dim))
+            prefix_full = jnp.concatenate([obs, prefix_samples], axis=1)
+        else:
+            prefix_full = prefix_samples
+        out = self._flow_model.conditional_sample(
+            key, 0, obs_samples=prefix_full)
+        suffix_dim = self.dim - (prefix_full.shape[1] - self._obs_dim)
+        return out[:, :suffix_dim]
+
     def unif_to_sample(self, u) -> jax.Array:
         """Single ``(d,)`` or batched ``(n, d)`` uniform-cube transform."""
         u = jnp.asarray(u, dtype=jnp.float32)

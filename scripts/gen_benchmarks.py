@@ -300,6 +300,16 @@ def scale_section():
       f"{'**pass**' if d.get('accuracy_gate') else '**FAIL**'} |")
     w(f"| incremental warm-started MAP (ISAM2-analog) RMSE | "
       f"{d['incremental_map_rmse']} m |")
+    if d.get("bucket_population_hist") is not None:
+        hist = d["bucket_population_hist"]
+        htxt = ", ".join(f"B={b}: {c}" for b, c in
+                         sorted(hist.items(), key=lambda kv: int(kv[0])))
+        w(f"| wavefront bucket populations (vmapped cliques per "
+          f"dispatch) | {htxt or 'none'} |")
+    if d.get("mode_repair_events") is not None:
+        mrv = ", ".join(d.get("mode_repair_vars", [])) or "—"
+        w(f"| mode-repair events (evidence-contradicted landmarks "
+          f"force-re-eliminated) | {d['mode_repair_events']} ({mrv}) |")
     if d.get("floor_step_s"):
         f = d["floor_step_s"]
         w(f"| per-step floor cost (first vs last quartile median) | "
@@ -446,6 +456,28 @@ def native_section():
     w("the Gaussian factor set, like the reference's GTSAM harness "
       "did.)")
     w()
+    probe = load("map_compile_probe.json")
+    if probe:
+        w("**Why the banked incremental MAP (`solver/banked_joint.py`, "
+          "the ISAM2")
+        w("analog) is CPU-pinned** — measured attribution "
+          "(`results/map_compile_probe.json`):")
+        w("XLA compiles the LM-CG program in 2-5 s at every bucket size "
+          "up to")
+        w("D_pad=16,384 (both `jax.scipy` CG and a `fori_loop` CG "
+          "variant) — the")
+        w("round-4 \"710 s compile\" was cold-run EXECUTION: a cold "
+          "solve is 150 LM x")
+        w("300 CG = 45k strictly sequential tiny gather/scatter "
+          "iterations at")
+        w("~0.3-0.7 ms each on the tunneled TPU (latency-bound; no "
+          "intra-iteration")
+        w("parallelism at D<=16k).  Even warm 15-iter re-solves would "
+          "cost seconds")
+        w("on TPU vs milliseconds on CPU, so the reference-baseline "
+          "floor stays on")
+        w("CPU and the TPU serves the flow path.")
+        w()
 
 
 def ns_section():
@@ -514,15 +546,24 @@ def utilization_section():
               f"{r['mfu_f32_pct']}% |")
     w()
     rec = d.get("batched_trainer_mfu_recovery")
-    if rec:
-        w(f"The bucketed (vmapped) trainer recovers **{rec}x** the "
-          f"single-clique MFU at B=64 — the measured answer to \"can "
-          f"the parallel design use the chip\" (round-3 weak #2): "
-          f"clique batching, not bigger flows, is how this workload "
-          f"scales onto the MXU.  A d=16/h=8 conditioner occupies <1% "
-          f"of the 128x128 systolic array by construction; utilization "
-          f"comes from batching independent cliques, and the B-sweep "
-          f"quantifies exactly how much.")
+    if rec is not None:
+        bt = [r for r in d["rows"]
+              if r["component"] == "clique_fit_batched"]
+        best = max(bt, key=lambda r: r["clique_fits_per_s"]) if bt else {}
+        w(f"**The measured answer to \"can clique batching use the "
+          f"chip\" (round-3 weak #2) is NO — and that is a finding, "
+          f"not a failure.**  Throughput peaks at B={best.get('B')} "
+          f"({best.get('clique_fits_per_s')} fits/s) and DEGRADES at "
+          f"B=64 (MFU recovery {rec}x vs B=1): per-iteration wall "
+          f"grows near-linearly in B, i.e. the trainer is bound on "
+          f"VPU/elementwise RQS-spline work and HBM traffic, not on "
+          f"the idle MXU (a d=16/h=8 conditioner occupies <1% of the "
+          f"128x128 systolic array by construction, and batching "
+          f"multiplies the vector work linearly).  The wavefront "
+          f"bucketing's production win is therefore DISPATCH "
+          f"amortization — one compiled launch per wave instead of one "
+          f"per clique over a ~27 ms tunnel — not FLOP utilization; "
+          f"the B-sweep bounds the on-device sweet spot at B~4-8.")
         w()
 
 
@@ -536,7 +577,15 @@ def multichip_section():
       "sharded and")
     w("  the mesh-vs-single posterior gated on joint translation MMD "
       "< 0.05")
-    w("  (round-3 measured 0.0000).")
+    w("  (round-3 measured 0.0000).  Phase 2 (round-5, VERDICT r4 #6): "
+      "an 8-robot")
+    w("  star graph whose first wave POPULATES the clique buckets — "
+      "8 same-signature")
+    w("  cliques vmapped in one dispatch and sharded over a 4-wide "
+      "clique axis;")
+    w("  gates on measured bucket population and the mode-invariant "
+      "range-posterior")
+    w("  moments mesh-vs-single (mean/width within 0.5 m).")
     if mh:
         w(f"- `dryrun_multihost` (2 processes x 4 devices, "
           f"`jax.distributed`): disjoint")
