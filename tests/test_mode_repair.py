@@ -57,8 +57,9 @@ def _solve(mode_repair):
         samples = solver.incremental_inference()
         # land the repair snapshot deterministically (production runs
         # overlap it with the next step's host work)
-        import time
-        time.sleep(0.05)
+        th = getattr(solver, "_snapshot_thread", None)
+        if th is not None:
+            th.join(timeout=10)
     return solver, {str(v.name): np.asarray(s) for v, s in samples.items()}
 
 
@@ -139,6 +140,7 @@ def test_no_repair_on_consistent_evidence():
             solver.add_factor(f)
         solver.update_physical_and_working_graphs()
         solver.incremental_inference()
-        import time
-        time.sleep(0.05)
+        th = getattr(solver, "_snapshot_thread", None)
+        if th is not None:
+            th.join(timeout=10)
     assert solver.mode_repair_log == []
