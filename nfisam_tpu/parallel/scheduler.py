@@ -69,6 +69,7 @@ class ParallelNFiSAM(NFiSAM):
                                 clique_dim_timer: Optional[List] = None,
                                 *args, **kwargs) -> None:
         self._temp_training_loss = {}
+        self._evict_stale_value_matches()
         ordering = self._working_bayes_tree.clique_ordering()
         t_begin = time.time()
         waves = wavefronts(ordering, self._clique_density_model)

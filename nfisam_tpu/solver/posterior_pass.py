@@ -270,13 +270,59 @@ def fused_sample_posterior(solver, num_samples: int
                 _stack_tree(params), _jstack(*means), _jstack(*stds))
 
         program = _fused_chain_program(cfg)
-        buffer = program(buffer, p_stack, m_stack,
-                         s_stack, jnp.asarray(circs),
-                         jnp.asarray(src), jnp.asarray(omask),
-                         jnp.asarray(ovals), jnp.asarray(imask),
-                         jnp.asarray(dst), jnp.asarray(np.stack(keys)))
+        args_dev = (p_stack, m_stack, s_stack, jnp.asarray(circs),
+                    jnp.asarray(src), jnp.asarray(omask),
+                    jnp.asarray(ovals), jnp.asarray(imask),
+                    jnp.asarray(dst), jnp.asarray(np.stack(keys)))
+        buffer = program(buffer, *args_dev)
+        _maybe_prewarm_growth(solver, cfg, program, num_samples,
+                              args_dev, L, L_pad, D, D_pad)
 
     return LazySamples(buffer, col_of)
+
+
+def _maybe_prewarm_growth(solver, cfg, program, n, args_dev, L, L_pad,
+                          D, D_pad) -> None:
+    """Compile the NEXT power-of-2 bucket variants in background threads
+    before growth reaches them.  Each (L_pad, D_pad) retrace of the fused
+    scan costs 15-28 s on the tunneled TPU and lands as a p99 step spike
+    (scale run: steps 16/37/53 at 24-28 s); a dummy-input call from a
+    thread populates the jit cache while real steps keep dispatching, so
+    the growth step is a cache hit."""
+    import threading
+    done = solver.__dict__.setdefault("_prewarm_done", set())
+    targets = []
+    if L >= (L_pad * 5) // 8:
+        targets.append((2 * L_pad, D_pad))
+    if D + 1 >= (D_pad * 3) // 4:
+        targets.append((L_pad, 2 * D_pad))
+        if L >= (L_pad * 5) // 8:
+            targets.append((2 * L_pad, 2 * D_pad))
+    for (L2, D2) in targets:
+        key = (repr(cfg), L2, D2, n)
+        if key in done:
+            continue
+        done.add(key)
+
+        def work(L2=L2, D2=D2):
+            try:
+                def tile(x):
+                    if x.shape[0] == L2:
+                        return x
+                    return jnp.concatenate([x] * (L2 // x.shape[0]),
+                                           axis=0)
+
+                (p, m, s, circ, src, om, ov, im, dst, keys) = args_dev
+                p2 = jax.tree_util.tree_map(tile, p)
+                buf2 = jnp.zeros((n, D2), jnp.float32)
+                out = program(buf2, p2, tile(m), tile(s), tile(circ),
+                              tile(src), tile(om), tile(ov), tile(im),
+                              tile(dst), tile(keys))
+                jax.block_until_ready(out)
+            except Exception:   # prewarm is best-effort
+                pass
+
+        threading.Thread(target=work, daemon=False).start()
 
 
 class LazySamples(Mapping):

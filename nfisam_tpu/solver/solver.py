@@ -239,7 +239,21 @@ class FactorGraphSolver:
         self._physical_bayes_tree = self._working_bayes_tree.copy()
         self._physical_bayes_tree.graft_subtrees(sub_trees)
 
-        self._recycle_root_models(old_ordering, no_recycle=repaired)
+        # a clique whose FRONTALS are touched by one of THIS step's
+        # factors must never be structurally recycled even if its
+        # variable set reappears verbatim: the stale model predates the
+        # new evidence, and eliminating it via without_clique leaves the
+        # new factor dangling on an eliminated frontal (measured:
+        # delayed-release DA factors crashed exactly here, KeyError on
+        # the observer).  Separator-only appearances stay recyclable —
+        # those models are conditionals p(frontals | sep), still valid
+        # functions when the separator's marginal shifts; blocking them
+        # drops the sep-prior anchors downstream cliques simulate from.
+        new_factor_vars: set = set()
+        for f in self._new_factors:
+            new_factor_vars |= set(f.vars)
+        self._recycle_root_models(old_ordering, no_recycle=repaired,
+                                  no_recycle_frontal=new_factor_vars)
 
         self._new_nodes = []
         self._new_factors = []
@@ -432,15 +446,20 @@ class FactorGraphSolver:
         return view
 
     def _recycle_root_models(self, old_ordering: List[Variable],
-                             no_recycle: set = frozenset()) -> None:
+                             no_recycle: set = frozenset(),
+                             no_recycle_frontal: set = frozenset()
+                             ) -> None:
         """An old root clique that reappears with the same variables and
         in-clique ordering — now as a leaf — keeps its density model after a
         separator/frontal re-split (reference FactorGraphSolver.py:309-349).
 
         ``no_recycle``: mode-repaired variables — a dismantled clique that
-        contains one may reappear with identical vars/ordering, and
-        structural recycling would silently resurrect the wrong-mode flow
-        the repair just evicted."""
+        CONTAINS one (frontal or separator) may reappear with identical
+        vars/ordering, and structural recycling would silently resurrect
+        the wrong-support flow the repair just evicted.
+        ``no_recycle_frontal``: this step's new-factor variables — blocks
+        recycling only where they are FRONTAL (the stale model would
+        absorb the frontals and leave the new factor dangling)."""
         stale = set(self._clique_density_model.keys()) - \
             self._physical_bayes_tree.clique_nodes
         if not stale:
@@ -461,6 +480,9 @@ class FactorGraphSolver:
                 continue
             new_clique = by_vars.get(frozenset(old_clique.vars))
             if new_clique is None:
+                continue
+            if no_recycle_frontal and \
+                    (no_recycle_frontal & new_clique.frontal):
                 continue
             old_cols = sorted(old_clique.vars, key=old_pos.__getitem__)
             new_cols = sorted(new_clique.vars, key=new_pos.__getitem__)
@@ -520,6 +542,37 @@ class FactorGraphSolver:
                                            density_model, true_obs):
         raise NotImplementedError
 
+    def _evict_stale_value_matches(self) -> None:
+        """Evict models claimed by VALUE-identical re-formed cliques.
+
+        ``CliqueNode`` equality is by variable content, so a working-tree
+        clique re-formed from the affected region with the exact same
+        frontal/separator sets hits the model dict of its pre-update
+        incarnation.  The 'already modeled' skip would then silently
+        DROP its live factors (no separator factor is emitted either, so
+        the next clique up cannot anchor its simulation — measured:
+        delayed-release DA factors produced exactly this, because adding
+        a factor over (pose, landmarks-already-in-separator) re-forms
+        the clique verbatim).  A re-formed clique is distinguishable
+        from a legitimately recycled one: recycling eliminated its
+        factors from the working graph, so only re-forms still have
+        non-implicit factors touching their frontals."""
+        if self._working_bayes_tree is None:
+            return
+        for clique in list(self._working_bayes_tree.clique_nodes):
+            if clique not in self._clique_density_model:
+                continue
+            sub = self._working_graph.clique_subgraph(clique)
+            live = any(
+                (set(f.vars) & clique.frontal)
+                and not isinstance(f, CliqueSeparatorFactor)
+                for f in sub.factors)
+            if live:
+                self._clique_density_model.pop(clique, None)
+                self._clique_true_obs.pop(clique, None)
+                self._clique_variable_pattern.pop(clique, None)
+                self._clique_samples.pop(clique, None)
+
     def fit_tree_density_models(self,
                                 timer: Optional[List[float]] = None,
                                 clique_dim_timer: Optional[List] = None,
@@ -527,6 +580,7 @@ class FactorGraphSolver:
         """Leaves->root clique loop (reference
         ``fit_tree_density_models`` FactorGraphSolver.py:409)."""
         self._temp_training_loss = {}
+        self._evict_stale_value_matches()
         clique_ordering = self._working_bayes_tree.clique_ordering()
         t_begin = time.time()
         while clique_ordering:

@@ -248,6 +248,44 @@ def main():
                          if v in truth and str(v.name).startswith("L")])
     trans_rmse = float(np.sqrt((errs ** 2).mean()))
 
+    # ---- gauge-vs-structure decomposition (round-5): how much of the
+    # raw-truth RMSE is a GLOBAL similarity drift (rotation/translation
+    # accumulated along the odometry chain — internally consistent, so
+    # mode repair correctly never fires) vs actual map structure error?
+    from nfisam_tpu.eval.metrics import kabsch_umeyama
+    keys_t = [v for v in samples if v in truth]
+    A = np.stack([np.asarray(truth[v])[:2] for v in keys_t])
+    B = np.stack([means[v][:2] for v in keys_t])
+    R, c, t = kabsch_umeyama(A, B)
+    B_al = (c * (R @ B.T)).T + t
+    aligned_rmse = float(np.sqrt(((A - B_al) ** 2).sum(1).mean()))
+    # measurement-consistency: posterior-mean range residuals in sigmas
+    resid = []
+    for f in factors:
+        base = getattr(f, "components", [f])[0]
+        if not hasattr(base, "sigma") or base.measurement_dim != 1:
+            continue
+        comps = getattr(f, "components", [f])
+        rr = min(abs(float(np.linalg.norm(
+            means[c_.vars[0]][:2] - means[c_.vars[1]][:2]))
+            - float(c_.obs[0])) / float(c_.sigma) for c_ in comps
+            if c_.vars[0] in means and c_.vars[1] in means)
+        resid.append(rr)
+    resid = np.asarray(resid) if resid else np.zeros(1)
+    # per-landmark posterior sharpness: wrong-mode commitments are
+    # sharp-and-wrong; gauge drift is consistent; diffuse beliefs are
+    # wide (repair's 2nd-pctile test can only catch the first class)
+    lmk_diag = []
+    for v in samples:
+        if not str(v.name).startswith("L") or v not in truth:
+            continue
+        s = np.asarray(samples[v])[:, :2]
+        lmk_diag.append({
+            "name": str(v.name),
+            "err": round(float(np.linalg.norm(s.mean(0)
+                                              - truth[v][:2])), 2),
+            "std": round(float(np.sqrt(s.var(0).sum())), 2)})
+
     floor_rmse = None
     inc_floor_rmse = None
     if floor is not None:
@@ -302,6 +340,13 @@ def main():
                          "surgery": round(rows[i]["surgery"], 2)}
                         for i in spikes],
         "trans_rmse": round(trans_rmse, 3),
+        "aligned_trans_rmse": round(aligned_rmse, 3),
+        "range_resid_sigmas": {
+            "median": round(float(np.median(resid)), 2),
+            "p90": round(float(np.percentile(resid, 90)), 2),
+            "frac_gt_4sigma": round(float((resid > 4.0).mean()), 3)},
+        "landmark_diag": sorted(lmk_diag,
+                                key=lambda d: -d["err"]),
         "landmark_rmse": round(float(np.sqrt((lmk_errs ** 2).mean())), 3)
         if len(lmk_errs) else None,
         "map_floor_rmse": floor_rmse and round(floor_rmse, 3),
