@@ -119,8 +119,16 @@ def solve_once(nodes, factors, seed, collect_steps=False,
                 samples, "materialize") else {
                 v: np.asarray(x) for v, x in samples.items()}
             per_step.append(step_s)
-    # force completion of any async device work (one fetch)
+    # force completion of any async device work (one fetch).  Split the
+    # phase into queue DRAIN (all device compute the async dispatch model
+    # deferred — i.e. the solve's true device time) and the host COPY of
+    # the posterior buffer, so "final fetch" is not misread as a
+    # transfer bottleneck.
     t4 = time.time()
+    t_drain = 0.0
+    if hasattr(samples, "_buffer"):
+        jax.block_until_ready(samples._buffer)
+        t_drain = time.time() - t4
     if hasattr(samples, "materialize"):
         samples = samples.materialize()
     else:
@@ -133,6 +141,7 @@ def solve_once(nodes, factors, seed, collect_steps=False,
             "surgery_s": round(t_surgery, 3), "fit_s": round(t_fit, 3),
             "posterior_s": round(t_post, 3),
             "final_fetch_s": round(time.time() - t4, 3),
+            "queue_drain_s": round(t_drain, 3),
             "worst_step_s": round(worst_step, 3),
             "gc_collections": sum(g1["collections"] - g0["collections"]
                                   for g0, g1 in zip(gc0, gc1))})

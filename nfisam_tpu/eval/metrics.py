@@ -173,6 +173,31 @@ def kabsch_umeyama(A: np.ndarray, B: np.ndarray):
     return R, c, t
 
 
+def rigid_gauge_transform(ref_pts: np.ndarray, est_pts: np.ndarray):
+    """Rigid (rotation + translation, NO scale) alignment ``R, t`` with
+    ``R @ est + t ~= ref`` — the 2D gauge-anchoring transform.
+
+    Range-only SLAM leaves the global rotation about the anchor weakly
+    observed (ranges are rotation-invariant; only the sigma~1.8deg/step
+    odometry chain pins it), so over a 1,000-pose chain the flow
+    posterior's mean frame random-walks several degrees away from the
+    maximum-likelihood gauge while its internal geometry stays accurate
+    (measured: raw 10.8 m vs Kabsch-aligned 1.8 m, gauge angle 5.3deg —
+    ``results/manhattan_scale.json``).  Re-expressing the posterior in
+    the incremental MAP's gauge is a pure change of coordinates: every
+    gauge-invariant query (ranges, relative poses, mode structure) is
+    untouched.  Scale is NOT a gauge freedom of SE(2) SLAM, hence no
+    Umeyama scale factor here."""
+    assert ref_pts.shape == est_pts.shape and ref_pts.shape[1] == 2
+    mu_r, mu_e = ref_pts.mean(0), est_pts.mean(0)
+    H = (ref_pts - mu_r).T @ (est_pts - mu_e)
+    U, _, VT = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(U @ VT))
+    R = U @ np.diag([1.0, d]) @ VT
+    t = mu_r - R @ mu_e
+    return R, t
+
+
 def gaussian_kernel_stein_discrepancy(joint_factor, kernel_precision,
                                       samples, nboot: int = 10,
                                       seed: int = 0):

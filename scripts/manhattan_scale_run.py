@@ -156,6 +156,12 @@ def main():
     # ships ccolamd (src/factor_graph/factor_graph.py ordering modes).
     ap.add_argument("--ordering", default="ccolamd",
                     choices=["ccolamd", "pose_first", "natural"])
+    ap.add_argument("--defer-da", action="store_true",
+                    help="delayed hypothesis commitment: hold each "
+                         "ambiguous-DA mixture until its candidate "
+                         "landmarks have >=2 unambiguous factors "
+                         "(bounded +6 steps) — the mitigation measured "
+                         "on plaza1_ada0.6 (RMSE 4.91 -> 1.25 m)")
     args = ap.parse_args()
 
     tag = f"scale_g{args.grid}_l{args.landmarks}_ada{args.ada}"
@@ -180,6 +186,10 @@ def main():
 
     batches = group_nodes_factors_incrementally(nodes, factors,
                                                 incremental_step=args.step)
+    if args.defer_da:
+        from nfisam_tpu.io.stream_policy import defer_ambiguous
+        tag += "_deferda"
+        batches = defer_ambiguous(batches)
     if args.limit_steps:
         batches = batches[:args.limit_steps]
 
@@ -259,17 +269,35 @@ def main():
     R, c, t = kabsch_umeyama(A, B)
     B_al = (c * (R @ B.T)).T + t
     aligned_rmse = float(np.sqrt(((A - B_al) ** 2).sum(1).mean()))
+    gauge_angle_deg = float(np.degrees(np.arctan2(R[1, 0], R[0, 0])))
+    # posterior coverage: is the flow honest-and-wide (truth inside the
+    # spread; raw RMSE then measures posterior WIDTH, which no point
+    # estimate can beat) or sharp-and-wrong (mode commitment — the class
+    # mode repair exists for)?  Per-variable 2D Mahalanobis of truth
+    # under the sample covariance; chi2_2 95% = 5.99.
+    mah = []
+    spread = []
+    for v in keys_t:
+        s = np.asarray(samples[v])[:, :2]
+        mu, cov = s.mean(0), np.cov(s.T) + 1e-9 * np.eye(2)
+        dvec = np.asarray(truth[v])[:2] - mu
+        mah.append(float(dvec @ np.linalg.solve(cov, dvec)))
+        spread.append(float(np.sqrt(np.trace(cov))))
+    mah = np.asarray(mah)
+    spread = np.asarray(spread)
     # measurement-consistency: posterior-mean range residuals in sigmas
     resid = []
     for f in factors:
         base = getattr(f, "components", [f])[0]
         if not hasattr(base, "sigma") or base.measurement_dim != 1:
             continue
-        comps = getattr(f, "components", [f])
+        comps = [c_ for c_ in getattr(f, "components", [f])
+                 if c_.vars[0] in means and c_.vars[1] in means]
+        if not comps:        # --limit-steps truncation: factor not solved
+            continue
         rr = min(abs(float(np.linalg.norm(
             means[c_.vars[0]][:2] - means[c_.vars[1]][:2]))
-            - float(c_.obs[0])) / float(c_.sigma) for c_ in comps
-            if c_.vars[0] in means and c_.vars[1] in means)
+            - float(c_.obs[0])) / float(c_.sigma) for c_ in comps)
         resid.append(rr)
     resid = np.asarray(resid) if resid else np.zeros(1)
     # per-landmark posterior sharpness: wrong-mode commitments are
@@ -288,6 +316,9 @@ def main():
 
     floor_rmse = None
     inc_floor_rmse = None
+    inc_floor_aligned = None
+    anchored_rmse = None
+    anchored_lmk_rmse = None
     if floor is not None:
         # incremental warm-started floor (the flat-cost ISAM2 analog):
         # reported, but its cold-start mode commitments make it an upper
@@ -296,6 +327,36 @@ def main():
         ferrs = np.array([np.linalg.norm(fest[v][:2] - truth[v][:2])
                           for v in fest if v in truth])
         inc_floor_rmse = float(np.sqrt((ferrs ** 2).mean()))
+        # gauge-aligned apples-to-apples: the flow's aligned_rmse must be
+        # compared to the MAP's ALIGNED error, not its raw error (both
+        # estimators ride the same weakly-observed global rotation)
+        keys_f = [v for v in fest if v in truth]
+        Af = np.stack([np.asarray(truth[v])[:2] for v in keys_f])
+        Bf = np.stack([fest[v][:2] for v in keys_f])
+        Rf, cf, tf_ = kabsch_umeyama(Af, Bf)
+        Bf_al = (cf * (Rf @ Bf.T)).T + tf_
+        inc_floor_aligned = float(np.sqrt(
+            ((Af - Bf_al) ** 2).sum(1).mean()))
+        # GAUGE-ANCHORED posterior: re-express the flow posterior in the
+        # incremental MAP's gauge (rigid rotation+translation fit of the
+        # posterior MEAN to the MAP estimate — truth never enters).  The
+        # MAP floor already runs alongside every step, so this is a free
+        # O(N d) post-pass; gauge-invariant queries are untouched.
+        from nfisam_tpu.eval.metrics import rigid_gauge_transform
+        common = [v for v in means if v in fest]
+        Pm = np.stack([fest[v][:2] for v in common])
+        Pf = np.stack([means[v][:2] for v in common])
+        Rg, tg = rigid_gauge_transform(Pm, Pf)
+        anch_errs = np.array([np.linalg.norm(
+            Rg @ means[v][:2] + tg - np.asarray(truth[v])[:2])
+            for v in means if v in truth])
+        anch_lmk = np.array([np.linalg.norm(
+            Rg @ means[v][:2] + tg - np.asarray(truth[v])[:2])
+            for v in means
+            if v in truth and str(v.name).startswith("L")])
+        anchored_rmse = float(np.sqrt((anch_errs ** 2).mean()))
+        anchored_lmk_rmse = float(np.sqrt((anch_lmk ** 2).mean())) \
+            if len(anch_lmk) else None
         # ACCURACY FLOOR: batch MAP initialized from the stored truth
         # column — reference parity: the GTSAM harness reads init values
         # from the .fg (gtsam_solution.cpp; native/fg_solver.cc same),
@@ -341,6 +402,12 @@ def main():
                         for i in spikes],
         "trans_rmse": round(trans_rmse, 3),
         "aligned_trans_rmse": round(aligned_rmse, 3),
+        "gauge_angle_deg": round(gauge_angle_deg, 2),
+        "coverage_95_frac": round(float((mah <= 5.99).mean()), 3),
+        "mahalanobis_median": round(float(np.median(mah)), 2),
+        "posterior_spread_m": {
+            "median": round(float(np.median(spread)), 2),
+            "p90": round(float(np.percentile(spread, 90)), 2)},
         "range_resid_sigmas": {
             "median": round(float(np.median(resid)), 2),
             "p90": round(float(np.percentile(resid, 90)), 2),
@@ -352,10 +419,20 @@ def main():
         "map_floor_rmse": floor_rmse and round(floor_rmse, 3),
         "incremental_map_rmse": inc_floor_rmse and round(inc_floor_rmse,
                                                          3),
+        "incremental_map_aligned_rmse": inc_floor_aligned and round(
+            inc_floor_aligned, 3),
+        "anchored_trans_rmse": anchored_rmse and round(anchored_rmse, 3),
+        "anchored_landmark_rmse": anchored_lmk_rmse and round(
+            anchored_lmk_rmse, 3),
         "rmse_bound": args.rmse_bound,
+        # round-5 gate (tightened from the round-4 20 m regression
+        # bound): the gauge-anchored posterior mean must stay within 2x
+        # the incremental MAP's raw error, AND the raw (unanchored)
+        # error inside the catastrophe bound
         "accuracy_gate": (floor_rmse is None or
-                          trans_rmse <= max(1.2 * floor_rmse,
-                                            args.rmse_bound)),
+                          (trans_rmse <= args.rmse_bound and
+                           (anchored_rmse is None or
+                            anchored_rmse <= 2.0 * inc_floor_rmse))),
         "floor_step_s": {
             "first_quartile_median": round(float(np.median(
                 floor_times[:max(1, len(floor_times) // 4)])), 3),
@@ -392,9 +469,10 @@ def main():
         fails.append(f"FLATNESS GATE: q4 median {q4:.3f}s > 1.5x q2 "
                      f"median {q2:.3f}s")
     if not result["accuracy_gate"]:
-        fails.append(f"ACCURACY GATE: trans RMSE {trans_rmse:.2f} > "
-                     f"max(1.2x MAP floor {floor_rmse:.2f}, bound "
-                     f"{args.rmse_bound})")
+        fails.append(
+            f"ACCURACY GATE: raw RMSE {trans_rmse:.2f} (bound "
+            f"{args.rmse_bound}) / anchored {anchored_rmse} vs 2x "
+            f"incremental MAP {inc_floor_rmse}")
     if fails and not args.limit_steps:
         print("\n".join("# " + f for f in fails), file=sys.stderr)
         sys.exit(1)

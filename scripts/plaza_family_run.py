@@ -50,6 +50,7 @@ SUFFIX = ("" if SEED == 0 else f"_seed{SEED}") + \
     ("_deferda" if DEFER_DA else "")
 OUT = f"/tmp/{DATASET}{SUFFIX}_results.json"
 DEFER_MAX_STEPS = 6
+from nfisam_tpu.io.stream_policy import defer_ambiguous  # noqa: E402
 
 
 HYPO_EVERY = 10   # hypothesis-weight sampling cadence (hundreds of DA
@@ -98,43 +99,6 @@ def hypo_snapshot(factors_in, samples, truth):
             "resolved_frac": round(float((ws > 0.9).mean()), 3)}
 
 
-def defer_ambiguous(batches):
-    """Delayed hypothesis commitment: hold each ADA factor back until all
-    its candidate landmarks have >=2 committed unambiguous factors, or at
-    most DEFER_MAX_STEPS later."""
-    from nfisam_tpu.factors.mixtures import BinaryFactorMixture
-    plain_count = {}
-    deferred = []        # (release_step, factor, candidate landmarks)
-    out = []
-    for i, (ns, fs) in enumerate(batches):
-        keep, held = [], []
-        for f in fs:
-            if isinstance(f, BinaryFactorMixture) and len(f.vars) > 2:
-                held.append(f)
-            else:
-                keep.append(f)
-                for v in f.vars:
-                    if str(v.name).startswith("L"):
-                        plain_count[v] = plain_count.get(v, 0) + 1
-        release, still = [], []
-        for j, (rel, f, lmks) in enumerate(deferred):
-            if i >= rel or all(plain_count.get(v, 0) >= 2 for v in lmks):
-                release.append(f)
-            else:
-                still.append((rel, f, lmks))
-        deferred = still
-        for f in held:
-            lmks = [v for v in f.vars[1:]]
-            if all(plain_count.get(v, 0) >= 2 for v in lmks):
-                release.append(f)
-            else:
-                deferred.append((i + DEFER_MAX_STEPS, f, lmks))
-        out.append((ns, keep + release))
-    if deferred:   # release anything left at the final step
-        out[-1] = (out[-1][0], out[-1][1] + [f for _, f, _ in deferred])
-    return out
-
-
 def map_floor(nodes, truth, factors):
     """Truth-initialized banked MAP floor (reference parity: the GTSAM
     harness reads init values from the file, gtsam_solution.cpp)."""
@@ -161,7 +125,7 @@ def main():
     batches = group_nodes_factors_incrementally(nodes, factors,
                                                 incremental_step=5)
     if DEFER_DA:
-        batches = defer_ambiguous(batches)
+        batches = defer_ambiguous(batches, max_steps=DEFER_MAX_STEPS)
     args = NFiSAMArgs(posterior_sample_num=1000, local_sample_num=2000,
                       flow_iterations=2000, num_knots=9,
                       learning_rate=0.01, hidden_dim=8,

@@ -126,15 +126,22 @@ def main():
         keep(os.path.join(REPO, "PROFILE.json"), "profile.json")
 
     if want("scale"):
+        base = ["scripts/manhattan_scale_run.py", "--grid", "16",
+                "--landmarks", "6", "--range-prob", "1.0", "--sensing",
+                "0", "--traj", "random_walk", "--waypoints", "1100",
+                "--ordering", "pose_first"]
         p = "/tmp/manhattan_scale_g16_l6_ada0.2_rp1_rw_results.json"
         if not os.path.exists(p):
-            run([py, "scripts/manhattan_scale_run.py", "--grid", "16",
-                 "--landmarks", "6", "--range-prob", "1.0", "--sensing",
-                 "0", "--traj", "random_walk", "--waypoints", "1100",
-                 "--ordering", "pose_first"],
-                timeout=14000, tag="manhattan scale 1k poses",
-                ignore_rc=(0, 1))
+            run([py] + base, timeout=14000,
+                tag="manhattan scale 1k poses", ignore_rc=(0, 1))
         keep(p, "manhattan_scale.json")
+        pd = ("/tmp/manhattan_scale_g16_l6_ada0.2_rp1_rw_deferda"
+              "_results.json")
+        if not os.path.exists(pd):
+            run([py] + base + ["--defer-da"], timeout=14000,
+                tag="manhattan scale 1k poses, defer-da arm",
+                ignore_rc=(0, 1))
+        keep(pd, "manhattan_scale_deferda.json")
 
     run([py, "scripts/gen_benchmarks.py"], tag="regenerate BENCHMARKS.md")
     print("campaign done", flush=True)
