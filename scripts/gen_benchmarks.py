@@ -174,9 +174,9 @@ def plaza_section():
     w("averaged away.")
     w()
     any_rows = False
-    w("| dataset | steps | trans RMSE | median step | floor RMSE | "
-      "DA true-weight / resolved | diverged streams |")
-    w("|---|---|---|---|---|---|---|")
+    w("| dataset | steps | trans RMSE | median step | solve wall | "
+      "floor RMSE | DA true-weight / resolved | diverged streams |")
+    w("|---|---|---|---|---|---|---|---|")
     for ds in ("plaza1", "plaza2", "plaza1_ada0.2", "plaza1_ada0.4",
                "plaza1_ada0.6"):
         rows = seeds_of(ds)
@@ -185,6 +185,7 @@ def plaza_section():
         any_rows = True
         rmse = [r["trans_rmse"] for r in rows]
         med = [r["median_step_s"] for r in rows]
+        solve = [r.get("solve_s") for r in rows if r.get("solve_s")]
         floor = [r.get("map_floor_rmse") for r in rows]
         div = sum(1 for r in rows if r.get("diverged"))
         hypo = [r["hypo_final"] for r in rows if r.get("hypo_final")]
@@ -193,8 +194,15 @@ def plaza_section():
             hcol = (spread([h["mean_true_weight"] for h in hypo]) +
                     " / " + spread([h["resolved_frac"] for h in hypo]))
         w(f"| {ds} | {rows[0]['n_steps']} | {spread(rmse)} | "
-          f"{spread(med, 3)} s | {spread(floor)} | {hcol} | "
+          f"{spread(med, 3)} s | "
+          f"{spread(solve) + ' s' if solve else '—'} | "
+          f"{spread(floor)} | {hcol} | "
           f"{div}/{len(rows)} |")
+    w()
+    w("`solve wall` is the solver loop alone (sum of per-step solve "
+      "times); the artifacts' `total_s` additionally includes per-step "
+      "DA-hypothesis snapshots and diagnostics (round-4 weak #6: the "
+      "old committed totals conflated the two).")
     w()
     if not any_rows:
         w("*(no plaza results — run the campaign)*")

@@ -178,6 +178,10 @@ def main():
               "seed": SEED,
               "defer_da": DEFER_DA,
               "total_s": round(total, 1),
+              # solver cost alone (sum of per-step solve walls); total_s
+              # additionally includes the per-step DA-hypothesis
+              # snapshots and progress diagnostics
+              "solve_s": round(sum(step_times), 1),
               "n_steps": len(batches),
               "mean_step_s": round(float(np.mean(step_times)), 2),
               "median_step_s": round(float(np.median(step_times)), 2),
