@@ -147,6 +147,15 @@ class FactorGraph:
                 continue
             sub.add_factor(factor)
         for subtree in subtrees:
+            if not subtree.root.separator:
+                # a separator-less detached root is a DISCONNECTED
+                # component (e.g. a landmark added with only a unary
+                # prior, not yet observed): zero coupling to the
+                # affected region, nothing to condition on — its kept
+                # clique model is the whole posterior of that component.
+                # Demanding a separator prior here crashed on legal
+                # incremental input (round-5).
+                continue
             sub.add_factor(clique_priors[subtree.root])
         return sub
 

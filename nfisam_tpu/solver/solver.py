@@ -475,6 +475,7 @@ class FactorGraphSolver:
         # canonical order: recycling emits separator factors into the
         # working graph, so set-iteration order here would leak
         # PYTHONHASHSEED into factor order (multi-host determinism)
+        matches = []
         for old_clique in sorted(stale, key=str):
             if no_recycle and (no_recycle & old_clique.vars):
                 continue
@@ -487,6 +488,38 @@ class FactorGraphSolver:
             old_cols = sorted(old_clique.vars, key=old_pos.__getitem__)
             new_cols = sorted(new_clique.vars, key=new_pos.__getitem__)
             if old_cols != new_cols:
+                continue
+            matches.append((old_clique, new_clique))
+        # elimination ORDER matters: each without_clique drops a clique's
+        # frontals from the working graph, so a parent must only be
+        # eliminated after every recycled child whose factors reference
+        # those frontals via its own separator (child sep ⊆ parent vars).
+        # Lexical order broke this for recycled CHAINS (a delayed-release
+        # DA factor dismantles a run of pose cliques; eliminating the
+        # parent first left the child's odometry factor dangling on a
+        # dropped frontal — KeyError X12, round-5).  Leaf-to-root =
+        # DEEPEST first; depth is computed iteratively (1,500-deep chains
+        # blow Python recursion) and ties stay str-sorted for multi-host
+        # determinism.
+        depth: Dict[CliqueNode, int] = {}
+        for _, nc in matches:
+            d, node = 0, nc
+            while node.parent is not None:
+                node = node.parent
+                d += 1
+            depth[nc] = d
+        matches.sort(key=lambda on: (-depth[on[1]], str(on[0])))
+        for old_clique, new_clique in matches:
+            # containment guard (cheap: without_clique scans factors
+            # anyway): if ANY working-graph factor touches this clique's
+            # frontals without being contained in it, eliminating now
+            # would leave that factor dangling — skip recycling (the
+            # clique simply retrains; correctness over reuse).
+            frontal = new_clique.frontal
+            cvars = new_clique.vars
+            if any((set(f.vars) & frontal) and
+                   not set(f.vars).issubset(cvars)
+                   for f in self._working_graph.factors):
                 continue
             self._clique_true_obs[new_clique] = \
                 self._clique_true_obs[old_clique]

@@ -167,3 +167,49 @@ def test_training_losses_lazy_materialization():
         assert all(np.isfinite(curve))
         # training should reduce NLL from the start to the minimum
         assert min(curve) < curve[0]
+
+
+def test_delayed_kway_factor_on_recycled_chain():
+    """Regression (round 5): a k-way DA factor released AFTER its
+    observer pose is deep in the tree dismantles a RUN of pose cliques;
+    recycling them leaf-to-root must not leave the child's odometry
+    factor dangling on an eliminated frontal (was: KeyError on the
+    observer's neighbor pose, lexical recycle order).  Models the
+    defer_ambiguous stream on the scale workload at minimum size."""
+    from nfisam_tpu.factors.mixtures import AmbiguousDataAssociationFactor
+
+    xs = [SE2Variable(f"X{i}") for i in range(10)]
+    ls = [R2Variable(f"L{i}", VariableType.Landmark) for i in range(2)]
+    cov = np.diag([0.01, 0.01, 0.001])
+    args = NFiSAMArgs(posterior_sample_num=150, local_sample_num=200,
+                      flow_iterations=20, num_knots=5, hidden_dim=4,
+                      learning_rate=0.02, elimination_method="pose_first",
+                      seed=0)
+    solver = NFiSAM(args)
+    solver.add_node(xs[0])
+    for lm in ls:
+        solver.add_node(lm)
+    solver.add_factor(UnarySE2ApproximateGaussianPriorFactor(
+        xs[0], np.array([0.0, 0.0, 0.0]), cov))
+    for lm, pos in zip(ls, ([5.0, 5.0], [5.0, -5.0])):
+        solver.add_factor(UnaryR2GaussianPriorFactor(
+            lm, np.array(pos), covariance=np.eye(2) * 0.3))
+    solver.update_physical_and_working_graphs()
+    solver.incremental_inference()
+    for i in range(1, 10):
+        solver.add_node(xs[i])
+        solver.add_factor(SE2RelativeGaussianLikelihoodFactor(
+            xs[i - 1], xs[i], np.array([1.0, 0.0, 0.0]), cov))
+        if i == 8:
+            # released 6 steps after its observer X2 was committed:
+            # dismantles the X2..X8 clique chain in one step
+            solver.add_factor(AmbiguousDataAssociationFactor(
+                observer_var=xs[2], observed_vars=ls, weights=[0.5, 0.5],
+                binary_factor_class=SE2R2RangeGaussianLikelihoodFactor,
+                observation=np.array([5.5]), sigma=0.4))
+        solver.update_physical_and_working_graphs()
+        samples = solver.incremental_inference()
+    got = {str(v.name) for v in samples}
+    assert got == {str(v.name) for v in xs} | {str(v.name) for v in ls}
+    for v, s in samples.items():
+        assert np.all(np.isfinite(np.asarray(s)))
