@@ -458,6 +458,14 @@ def scale_section():
           f"{dd.get('aligned_trans_rmse')} | "
           f"{dd.get('anchored_trans_rmse')} |")
         w()
+        w("Only 1 of the 236 mixtures is deferrable on this stream "
+          "(range-per-pose localizes every candidate within a few "
+          "steps), so the arms agree to within run noise — consistent "
+          "with the diagnosis that this workload's error is gauge, not "
+          "DA commitment.  The mitigation's effect shows where "
+          "commitment IS the failure mode: plaza1_ada0.6 above "
+          "(4.91 -> 1.25 m, divergences 1/3 -> 0/3).")
+        w()
     w("Runner: `scripts/manhattan_scale_run.py` (generates "
       "`data/manhattan_scale_*.fg` deterministically).")
     w()
