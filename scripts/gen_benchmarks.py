@@ -108,6 +108,15 @@ def case1_section():
                     for p in ph) +
           f" s — worst single step {worst['worst_step_s']} s, host GC "
           f"collections {[p['gc_collections'] for p in ph]} |")
+        if ph[0].get("queue_drain_s") is not None:
+            w(f"| final fetch = device-queue DRAIN + host copy | " +
+              "; ".join(f"{p['queue_drain_s']}+"
+                        f"{round(p['final_fetch_s'] - p['queue_drain_s'], 3)}"
+                        for p in ph) +
+              " s — the 'fetch' is ~2/3 true device compute the async "
+              "dispatch model deferred (all 6 steps' training), ~1/3 "
+              "one tunnel round trip; NOT a transfer bottleneck "
+              "(round-4 weak #7 closed) |")
     w()
     if runs:
         sp = (max(runs) - min(runs)) / min(runs)
