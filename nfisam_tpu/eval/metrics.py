@@ -198,6 +198,37 @@ def rigid_gauge_transform(ref_pts: np.ndarray, est_pts: np.ndarray):
     return R, t
 
 
+def anchor_samples(samples, ref_means):
+    """Re-express a posterior-sample dict in the gauge of a reference
+    point estimate (e.g. the incremental MAP the solver maintains as a
+    floor): fit ``rigid_gauge_transform`` on the posterior MEANS of the
+    variables common to both, then apply it to every sample — positions
+    rotate+translate, circular dims (SE(2) heading) shift by the gauge
+    angle and re-wrap.  Pure change of coordinates: gauge-invariant
+    queries (ranges, relative poses, mode structure) are untouched.
+
+    ``samples``: {Variable: (n, dim) array}; ``ref_means``:
+    {Variable: (dim,) array}.  Returns ({Variable: (n, dim) ndarray},
+    gauge_angle_rad)."""
+    common = [v for v in samples if v in ref_means]
+    if len(common) < 2:
+        return ({v: np.asarray(s) for v, s in samples.items()}, 0.0)
+    ref = np.stack([np.asarray(ref_means[v])[:2] for v in common])
+    est = np.stack([np.asarray(samples[v]).mean(0)[:2] for v in common])
+    R, t = rigid_gauge_transform(ref, est)
+    ang = float(np.arctan2(R[1, 0], R[0, 0]))
+    out = {}
+    for v, s in samples.items():
+        s = np.array(s, copy=True)
+        s[:, :2] = s[:, :2] @ R.T + t
+        for d, circ in enumerate(v.circular_dim_list):
+            if circ:
+                s[:, d] = np.mod(s[:, d] + ang + np.pi,
+                                 2 * np.pi) - np.pi
+        out[v] = s
+    return out, ang
+
+
 def gaussian_kernel_stein_discrepancy(joint_factor, kernel_precision,
                                       samples, nboot: int = 10,
                                       seed: int = 0):

@@ -75,6 +75,43 @@ def test_rigid_gauge_transform_no_scale():
     np.testing.assert_allclose(ratio, 1.0, rtol=1e-9)
 
 
+def test_anchor_samples_restores_gauge():
+    """A posterior rotated 0.2 rad about the origin anchors back onto
+    the reference estimate: positions AND headings corrected, sample
+    spread (gauge-invariant) preserved."""
+    from nfisam_tpu.core import R2Variable, SE2Variable, VariableType
+    from nfisam_tpu.eval.metrics import anchor_samples
+    rng = np.random.default_rng(5)
+    xs = [SE2Variable(f"X{i}") for i in range(4)]
+    lm = R2Variable("L1", VariableType.Landmark)
+    truth = {v: np.array([3.0 * i, 1.0 * i, 0.1 * i])
+             for i, v in enumerate(xs)}
+    truth[lm] = np.array([5.0, -2.0])
+    ang = 0.2
+    R = np.array([[np.cos(ang), -np.sin(ang)],
+                  [np.sin(ang), np.cos(ang)]])
+    samples = {}
+    for v, mu in truth.items():
+        n = 300
+        s = np.zeros((n, v.dim))
+        s[:, :2] = (R @ mu[:2]).T + rng.normal(scale=0.05, size=(n, 2))
+        if v.dim == 3:
+            s[:, 2] = mu[2] + ang + rng.normal(scale=0.02, size=n)
+        samples[v] = s
+    anchored, got_ang = anchor_samples(samples, truth)
+    np.testing.assert_allclose(got_ang, -ang, atol=0.02)
+    for v, mu in truth.items():
+        m = anchored[v].mean(0)
+        np.testing.assert_allclose(m[:2], mu[:2], atol=0.05)
+        if v.dim == 3:
+            np.testing.assert_allclose(m[2], mu[2], atol=0.05)
+        # spread untouched by the rigid map
+        np.testing.assert_allclose(
+            np.sqrt(anchored[v][:, :2].var(0).sum()),
+            np.sqrt(np.asarray(samples[v])[:, :2].var(0).sum()),
+            rtol=1e-6)
+
+
 def test_sample_mean_circular():
     from nfisam_tpu.core import SE2Variable
     v = SE2Variable("X")
