@@ -421,12 +421,20 @@ def scale_section():
           "gauge-invariant metric the flow's aligned RMSE is "
           f"**{d['aligned_trans_rmse']} m** vs the incremental MAP's "
           f"own aligned {d.get('incremental_map_aligned_rmse')} m"
-          + (f" — ratio **{ratio:.2f}x**, inside the 2x target"
+          + (f" — ratio **{ratio:.2f}x**"
              if ratio else "") +
+          (f"; the anchored posterior is "
+           f"**{d['anchored_trans_rmse'] / d['incremental_map_rmse']:.2f}x"
+           f"** the MAP's raw error (the 2x gate)"
+           if d.get("anchored_trans_rmse") and
+           d.get("incremental_map_rmse") else "") +
           ".  Raw error TRACKS the gauge angle across runs while "
-          "aligned stays put (5.3 deg -> 10.8 m raw / 1.79 m aligned "
-          "at 300 steps; this run's angle above -> raw above / aligned "
-          "unchanged) — the gauge walk IS the raw number"
+          "aligned/anchored stay put — a committed second run "
+          "(`results/manhattan_scale_run2.json`, identical config; a "
+          "timing-dependent single mode-repair firing reassigns "
+          "downstream RNG) drew a 10.1 deg walk: raw 21.2 m vs this "
+          "run's 10.7, aligned 1.8 vs 2.3, anchored 3.4 vs 3.6 — the "
+          "gauge walk IS the raw number"
           f".  Posterior-mean range residuals (median "
           f"{d['range_resid_sigmas']['median']} sigma) confirm the map "
           "is measurement-consistent, which is why evidence-aware mode "
